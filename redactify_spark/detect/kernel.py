@@ -1,0 +1,612 @@
+"""Reference-semantics PII mention detection kernel (pure Python).
+
+This module reproduces, as deterministic pure functions, the detection
+semantics of the reference engine (rushilpatel21/Redactify,
+server/detection_engine.py + server/server.py): the seven-way detector
+union, the post-processing chain (thresholds, false-positive filters,
+dedup, overlap merge) and the server-side normalization.  It is the
+SINGLE source of truth: the pytest span fixtures assert against it, and
+the Spark detection stage (`redactify_spark.operators.detection`) calls
+it per Arrow batch inside ``mapInPandas`` -- parity by construction.
+
+Mention record: a dict with keys
+  entity_group:str, start:int, end:int, score:float, detector:str
+  (+ word/entity_text/pattern_type where the reference adds them)
+Character offsets are half-open [start, end) into the original text
+(server/detection_engine.py:443-449 et al.).
+
+Determinism note: the reference unions detector outputs in thread /
+coroutine completion order, which is nondeterministic for ties; we pin a
+fixed detector order (presidio, regex, contextual, models, fallback).
+The ensuing stable sort by ``start`` (server/detection_engine.py:683)
+then yields a deterministic total order, and the P6 dedup "highest
+score, first inserted wins" tiebreak becomes reproducible.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+
+from redactify_spark import config as C
+
+# ---------------------------------------------------------------------------
+# Pattern compilation (once per process / Spark python worker)
+# ---------------------------------------------------------------------------
+
+_COMPILED_BANK: list[dict] = []
+for _p in C.REGEX_BANK:
+    _d = dict(_p)
+    _d["compiled"] = re.compile(_p["pattern"], re.IGNORECASE)
+    _COMPILED_BANK.append(_d)
+
+_COMPILED_PII: list[dict] = []
+for _p in C.PII_PATTERNS:
+    _d = dict(_p)
+    _d["compiled"] = re.compile(_p["pattern"], re.IGNORECASE if _p.get("iflags") else 0)
+    _COMPILED_PII.append(_d)
+
+_AMBIGUOUS_COMPANY_RES: list[tuple[re.Pattern, str, str]] = [
+    (re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE), name, etype)
+    for name, etype in C.AMBIGUOUS_COMPANIES.items()
+]
+_ORG_INDICATOR_RES = [re.compile(p, re.IGNORECASE) for p in C.ORG_CONTEXT_INDICATORS]
+
+_FALLBACK_NAME_RE = re.compile(r"\b([A-Z][a-z]{2,})\b")
+_TITLE_NAME_RE = re.compile(r"(?:Mr\.|Ms\.|Mrs\.|Dr\.|Prof\.) ([A-Z][a-zA-Z\-]{2,})")
+_NEARBY_INDICATOR = r"(?::|=|is\s+|was\s+reset\s+to\s+)"
+
+
+# ---------------------------------------------------------------------------
+# D13: domain classification (server/detection_engine.py:289-313)
+# ---------------------------------------------------------------------------
+
+def classify_domains(text: str) -> list[str]:
+    domains = ["general"]
+    tl = text.lower()
+    if any(w in tl for w in C.MEDICAL_DOMAIN_KEYWORDS):
+        domains.append("medical")
+    return domains
+
+
+# ---------------------------------------------------------------------------
+# D8: regex context gate (server/detection_engine.py:613-645)
+# ---------------------------------------------------------------------------
+
+def _has_context(text: str, span_start: int, span_end: int,
+                 context_words: list[str]) -> bool:
+    if not context_words:
+        return True
+    matched_text = text[span_start:span_end]
+    if matched_text in C.BLOCKLIST:
+        return False
+    # "Project X"-style names are a known false positive
+    if matched_text.startswith("Project") and len(matched_text.split()) <= 2:
+        return False
+    # NB: window is applied to the WORD list (as implemented in the
+    # reference, despite its comment saying characters)
+    ctx = C.ENGINE_CONFIG["context_window"]
+    before = text[:span_start].split()[-ctx:] if span_start > 0 else []
+    after = text[span_end:].split()[:ctx] if span_end < len(text) else []
+    context_text = " ".join(before + after).lower()
+    for word in context_words:
+        if word.lower() in context_text:
+            return True
+    nearby = text[max(0, span_start - 20):min(len(text), span_end + 10)]
+    if re.search(_NEARBY_INDICATOR + r"\s*" + re.escape(matched_text), nearby,
+                 re.IGNORECASE):
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# D1: regex pattern bank (server/detection_engine.py:458-492)
+# ---------------------------------------------------------------------------
+
+def detect_regex(text: str) -> list[dict]:
+    out = []
+    for pdef in _COMPILED_BANK:
+        for m in pdef["compiled"].finditer(text):
+            start, end = m.span()
+            matched = text[start:end]
+            if len(matched) < 3 and not pdef.get("context"):
+                continue
+            if not matched.strip():
+                continue
+            if _has_context(text, start, end, pdef.get("context", [])):
+                out.append({
+                    "entity_group": pdef["type"],
+                    "start": start, "end": end,
+                    "score": 0.9,
+                    "detector": "regex_internal",
+                })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D2: Presidio-style recognizer registry (deterministic subset)
+#
+# The reference calls presidio_analyzer.AnalyzerEngine().analyze(...)
+# (server/detection_engine.py:433-456), a third-party library that is not
+# available in this environment.  We vendor the handful of recognizers the
+# pipeline actually relies on as deterministic pattern + checksum rules;
+# their scores follow Presidio's published pattern scores so downstream
+# thresholds behave equivalently.  This registry IS our pinned semantics
+# (oracle and UDF share it).
+# ---------------------------------------------------------------------------
+
+_PRESIDIO_RULES: list[tuple[str, re.Pattern, float]] = [
+    ("EMAIL_ADDRESS",
+     re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"), 1.0),
+    ("URL",
+     re.compile(r"\bhttps?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"), 0.85),
+    ("IP_ADDRESS",
+     re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), 0.95),
+    ("US_SSN",
+     re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), 0.85),
+    ("PHONE_NUMBER",
+     re.compile(r"(?:\+?\d{1,2}[-.\s]?)?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}\b"), 0.75),
+    ("CREDIT_CARD",
+     re.compile(r"\b(?:\d{4}[- ]?){3}\d{4}\b"), 1.0),
+    ("DATE_TIME",
+     re.compile(r"\b\d{4}-\d{2}-\d{2}\b"), 0.6),
+]
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum (reference: server/models/financial_ner.py:280-301)."""
+    ds = [int(c) for c in digits if c.isdigit()]
+    if len(ds) < 12:
+        return False
+    total, alt = 0, False
+    for d in reversed(ds):
+        if alt:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+        alt = not alt
+    return total % 10 == 0
+
+
+def _valid_ip(s: str) -> bool:
+    return all(0 <= int(p) <= 255 for p in s.split("."))
+
+
+def detect_presidio(text: str) -> list[dict]:
+    out = []
+    for etype, pat, score in _PRESIDIO_RULES:
+        for m in pat.finditer(text):
+            s, e = m.span()
+            surface = text[s:e]
+            if etype == "CREDIT_CARD" and not luhn_valid(surface):
+                continue
+            if etype == "IP_ADDRESS" and not _valid_ip(surface):
+                continue
+            out.append({
+                "entity_group": etype,
+                "start": s, "end": e,
+                "score": score,
+                "detector": "presidio_internal",
+            })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D3: contextual org detector (server/detection_engine.py:494-545)
+# ---------------------------------------------------------------------------
+
+def detect_contextual(text: str) -> list[dict]:
+    out = []
+    window = C.ENGINE_CONFIG["context_window"]
+    for pat, _name, etype in _AMBIGUOUS_COMPANY_RES:
+        for m in pat.finditer(text):
+            start, end = m.span()
+            ctx = text[max(0, start - window):min(len(text), end + window)].lower()
+            if any(ind.search(ctx) for ind in _ORG_INDICATOR_RES):
+                out.append({
+                    "entity_group": etype,
+                    "start": start, "end": end,
+                    "score": 0.88,
+                    "detector": "context_entity_detector",
+                })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D4/D5: fallback + title name detectors
+# (server/detection_engine.py:547-608)
+# ---------------------------------------------------------------------------
+
+def detect_fallback_names(text: str, existing: list[dict]) -> list[dict]:
+    if any(e.get("entity_group", "").upper() == "PERSON" for e in existing):
+        return []
+    out = []
+    for m in _FALLBACK_NAME_RE.finditer(text):
+        name = m.group(1)
+        if name.lower() in C.FALLBACK_NON_NAMES:
+            continue
+        if name.lower() in C.COMMON_NAME_WORDS_LOWER_COMPARE:
+            continue
+        pre = text[max(0, m.start(1) - 20):m.start(1)].strip()
+        if pre == "" or pre.endswith((".", "!", "?", "\n", "\r")):
+            if name in C.SENTENCE_START_DEMONSTRATIVES:
+                continue
+        out.append({
+            "entity_group": "PERSON",
+            "start": m.start(1), "end": m.end(1),
+            "score": 0.65, "word": name,
+            "detector": "fallback_name_detector",
+        })
+    for m in _TITLE_NAME_RE.finditer(text):
+        name = m.group(1)
+        if name.lower() not in C.COMMON_NAME_WORDS_LOWER_COMPARE:
+            out.append({
+                "entity_group": "PERSON",
+                "start": m.start(1), "end": m.end(1),
+                "score": 0.92,
+                "detector": "title_name_detector",
+            })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D6/D7: NER model stages.
+#
+# The reference serves HF token-classification pipelines over MCP
+# (server/models/general_ner.py:41-125, medical_ner.py).  transformers is
+# not installed here, so the default engine is a deterministic gazetteer
+# NER with the same output contract (entity_group/start/end/score/word).
+# A real model can be plugged in via `set_ner_backend` -- the Spark stage
+# loads it once per executor python worker (mirrors
+# server/model_manager.py's per-process lazy singleton).
+# ---------------------------------------------------------------------------
+
+_PERSON_FIRST = (
+    "John|Jane|Alice|Robert|Michael|Sarah|David|Emily|James|Maria|Rushil|"
+    "Wei|Ahmed|Olga|Priya|Carlos|Anna|Peter|Linda|Tom"
+)
+_PERSON_LAST = (
+    "Smith|Doe|Johnson|Brown|Davis|Miller|Wilson|Patel|Garcia|Kim|Chen|"
+    "Kumar|Ivanova|Nguyen|Lopez|Muller|Rossi|Tanaka|Okafor|Haddad"
+)
+_GAZ_PERSON_RE = re.compile(rf"\b(?:{_PERSON_FIRST}) (?:{_PERSON_LAST})\b")
+_GAZ_ORG_RE = re.compile(
+    r"\b[A-Z][A-Za-z0-9&\-]*(?: [A-Z][A-Za-z0-9&\-]*)? "
+    r"(?:Inc|Corp|Corporation|LLC|Ltd|GmbH|Labs|Systems|Technologies)\b\.?"
+)
+_GAZ_LOC = (
+    "New York|London|Paris|Berlin|Tokyo|Mumbai|Seattle|Austin|Toronto|"
+    "Sydney|Dublin|Zurich|Singapore|California|Texas|Nairobi|Boston"
+)
+_GAZ_LOC_RE = re.compile(rf"\b(?:{_GAZ_LOC})\b")
+
+
+def _gazetteer_ner(text: str) -> list[dict]:
+    """Deterministic stand-in for the conll03 BERT stage (D6)."""
+    out = []
+    for pat, label, score in ((_GAZ_PERSON_RE, "PER", 0.99),
+                              (_GAZ_ORG_RE, "ORG", 0.93),
+                              (_GAZ_LOC_RE, "LOC", 0.97)):
+        for m in pat.finditer(text):
+            s, e = m.span()
+            out.append({
+                "entity_group": label,
+                "start": s, "end": e,
+                "score": score,
+                "word": text[s:e],
+            })
+    return out
+
+
+_NER_BACKEND = None  # optional plug-in: Callable[[str], list[dict]]
+
+
+def set_ner_backend(fn) -> None:
+    global _NER_BACKEND
+    _NER_BACKEND = fn
+
+
+def _run_general_model(text: str) -> list[dict]:
+    raw = (_NER_BACKEND or _gazetteer_ner)(text)
+    out = []
+    for e in raw:
+        s, en = int(e.get("start", 0)), int(e.get("end", 0))
+        if not (0 <= s < en <= len(text)):  # span validation, general_ner.py:96-99
+            continue
+        out.append({**e, "start": s, "end": en,
+                    "score": float(e.get("score", 0.0))})
+    return out
+
+
+_MEDICAL_TERM_RE = re.compile(
+    r"\b(?:Dr\.\s+[A-Z][a-z]+|[A-Z][a-z]+ (?:Hospital|Clinic|Medical Center))\b"
+)
+
+
+def _run_medical_model(text: str) -> list[dict]:
+    """Deterministic stand-in for the i2b2 RoBERTa stage (D7): doctors ->
+    PERSON, hospitals -> ORGANIZATION (label remap per
+    server/models/medical_ner.py:188-237); x1.1 score boost when +/-50-char
+    context has medical keywords (:156-158)."""
+    out = []
+    for m in _MEDICAL_TERM_RE.finditer(text):
+        s, e = m.span()
+        surface = text[s:e]
+        etype = "PERSON" if surface.startswith("Dr.") else "ORGANIZATION"
+        score = 0.9
+        ctx = text[max(0, s - 50):min(len(text), e + 50)].lower()
+        if any(w in ctx for w in C.MEDICAL_DOMAIN_KEYWORDS):
+            score = min(1.0, score * 1.1)
+        out.append({"entity_group": etype, "start": s, "end": e,
+                    "score": score, "word": surface})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D9 pattern sub-bank (server/models/pii_specialized_ner.py:198-398)
+# ---------------------------------------------------------------------------
+
+def _pii_pattern_confidence(name: str, surface: str, text: str,
+                            start: int, base: float) -> float:
+    conf = base
+    ctx = text[max(0, start - 30):min(len(text), start + len(surface) + 30)].lower()
+    if name == "ssn" and any(w in ctx for w in ("social", "security", "ssn")):
+        conf += 0.05
+    elif name == "credit_card" and any(w in ctx for w in ("card", "credit", "payment")):
+        conf += 0.05
+    elif name == "phone" and any(w in ctx for w in ("phone", "call", "contact", "mobile")):
+        conf += 0.05
+    elif name == "email" and any(w in ctx for w in ("email", "contact", "send", "@")):
+        conf += 0.05
+    if name == "date" and any(w in ctx for w in ("version", "build", "release")):
+        conf -= 0.15
+    elif name == "phone" and any(w in ctx for w in ("port", "extension", "ext")):
+        conf -= 0.10
+    return min(1.0, max(0.1, conf))
+
+
+def detect_pii_patterns(text: str) -> list[dict]:
+    out = []
+    for pdef in _COMPILED_PII:
+        for m in pdef["compiled"].finditer(text):
+            s, e = m.span()
+            surface = m.group()
+            if m.groups() and m.group(1):
+                # narrow to the capture group (pii_specialized_ner.py:211-219)
+                s, e = m.start(1), m.end(1)
+                surface = m.group(1)
+            if len(surface) < 3 and pdef["name"] not in ("age", "zip_code"):
+                continue
+            out.append({
+                "entity_group": pdef["type"],
+                "start": s, "end": e,
+                "score": _pii_pattern_confidence(pdef["name"], surface, text,
+                                                 s, pdef["conf"]),
+                "word": surface,
+                "detector": "pii_pattern_detector",
+                "pattern_type": pdef["name"],
+            })
+    return out
+
+
+def _is_pii_context(text: str, start: int, end: int) -> bool:
+    ctx = text[max(0, start - 40):min(len(text), end + 40)].lower()
+    return any(ind in ctx for ind in C.PII_CONTEXT_INDICATORS)
+
+
+def remove_overlaps_by_score(entities: list[dict]) -> list[dict]:
+    """P10 per-model overlap removal: any positional overlap resolved by max
+    score, replace-in-place (pii_specialized_ner.py:373-398)."""
+    kept: list[dict] = []
+    for ent in sorted(entities, key=lambda x: x["start"]):
+        replaced = False
+        for i, ex in enumerate(kept):
+            if ent["start"] < ex["end"] and ent["end"] > ex["start"]:
+                if ent["score"] > ex["score"]:
+                    kept[i] = ent
+                replaced = True
+                break
+        if not replaced:
+            kept.append(ent)
+    return sorted(kept, key=lambda x: x["start"])
+
+
+def _run_pii_specialized(text: str) -> list[dict]:
+    """D9: model pass (mapped via _map_pii_entity_type) + pattern bank,
+    then per-model overlap removal."""
+    results = []
+    for e in _run_general_model(text):
+        label = e["entity_group"].upper().strip()
+        mapped = {"PERSON": "PERSON", "PER": "PERSON",
+                  "ORGANIZATION": "ORGANIZATION", "ORG": "ORGANIZATION",
+                  "LOCATION": "LOCATION", "LOC": "LOCATION",
+                  "MISCELLANEOUS": "PII_IDENTIFIER", "MISC": "PII_IDENTIFIER",
+                  }.get(label, e["entity_group"] or "PII_IDENTIFIER")
+        ent = {**e, "entity_group": mapped,
+               "detector": "pii_specialized_ner_model",
+               "original_label": e["entity_group"]}
+        if _is_pii_context(text, ent["start"], ent["end"]):
+            ent["score"] = min(1.0, ent["score"] * 1.1)
+        results.append(ent)
+    results.extend(detect_pii_patterns(text))
+    return remove_overlaps_by_score(results)
+
+
+# ---------------------------------------------------------------------------
+# Model-stage orchestration: thresholds (P1) + generic-label filter (P2)
+# (server/detection_engine.py:366-431)
+# ---------------------------------------------------------------------------
+
+def _model_entities(text: str, model_name: str) -> list[dict]:
+    if model_name == "general":
+        raw = [{**e, "detector": None} for e in _run_general_model(text)]
+    elif model_name == "medical":
+        raw = [{**e, "detector": None} for e in _run_medical_model(text)]
+    elif model_name == "pii_specialized":
+        raw = _run_pii_specialized(text)
+    else:
+        raw = []
+    floor = C.MODEL_THRESHOLDS.get(model_name, C.MODEL_THRESHOLD_DEFAULT)
+    out = []
+    for e in raw:
+        if e.get("score", 0) < floor:
+            continue
+        etype = e.get("entity_group", "").upper()
+        if model_name in ("legal", "financial") and etype in C.GENERIC_LABELS:
+            continue
+        out.append({**e, "detector": f"mcp_{model_name}"})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P3-P7 post-processing (server/detection_engine.py:647-832)
+# ---------------------------------------------------------------------------
+
+def _is_false_positive(surface: str, etype: str) -> bool:
+    surface = surface.strip().lower()
+    etype = etype.upper()
+    if surface in C.COMMON_FALSE_POSITIVES:
+        return True
+    if etype in ("ORGANIZATION", "ORG") and surface in C.ORG_FALSE_POSITIVES:
+        return True
+    if etype in ("PERSON", "PER") and surface in C.PERSON_FALSE_POSITIVES:
+        return True
+    if etype in ("LOCATION", "LOC", "GPE") and surface in C.LOCATION_FALSE_POSITIVES:
+        return True
+    if len(surface) <= 2 and surface.isalpha():
+        return True
+    if surface in C.COMMON_DOCUMENT_WORDS:
+        return True
+    return False
+
+
+def _is_better_entity_type(t1: str, t2: str) -> bool:
+    s1, s2 = t1.upper() in C.SPECIFIC_TYPES, t2.upper() in C.SPECIFIC_TYPES
+    return s1 and not s2
+
+
+def post_process(entities: list[dict], text: str) -> list[dict]:
+    if not entities:
+        return []
+    threshold = C.ENGINE_CONFIG["entity_confidence_threshold"]
+    filtered = []
+    for e in entities:
+        if e.get("score", 0) < threshold:
+            continue
+        s, en = e.get("start", 0), e.get("end", 0)
+        surface = text[s:en] if s < len(text) and en <= len(text) else ""
+        if _is_false_positive(surface, e.get("entity_group", "").upper()):
+            continue
+        if en - s < 2:
+            continue
+        if len(surface.strip()) <= 1:
+            continue
+        filtered.append({**e, "entity_text": surface})
+    filtered.sort(key=lambda x: x.get("start", 0))
+
+    # P6: one mention per (lower(surface), TYPE); highest score wins, first
+    # inserted breaks ties (dict order + stable sort, as in the reference)
+    groups: dict[tuple, list[dict]] = {}
+    for e in filtered:
+        key = (e.get("entity_text", "").lower(),
+               e.get("entity_group", "").upper())
+        groups.setdefault(key, []).append(e)
+    unique = []
+    for group in groups.values():
+        group.sort(key=lambda x: x.get("score", 0), reverse=True)
+        unique.append(group[0])
+    unique.sort(key=lambda x: x.get("start", 0))
+
+    # P7: greedy left-to-right overlap resolution
+    merged: list[dict] = []
+    for ent in unique:
+        if not merged:
+            merged.append(ent)
+            continue
+        last = merged[-1]
+        if ent["start"] < last["end"] and ent["end"] > last["start"]:
+            if (ent.get("score", 0) > last.get("score", 0)
+                    or _is_better_entity_type(ent.get("entity_group", ""),
+                                              last.get("entity_group", ""))):
+                merged[-1] = ent
+        else:
+            merged.append(ent)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Server-side normalization + options projection
+# (server/server.py:160-189)
+# ---------------------------------------------------------------------------
+
+def normalize_server(entities: list[dict]) -> list[dict]:
+    out = []
+    for e in entities:
+        etype = e.get("entity_group", "").upper()
+        if etype in ("PER", "PERSON"):
+            e = {**e, "entity_group": "PERSON"}
+        elif etype in ("ORG", "ORGANIZATION"):
+            e = {**e, "entity_group": "ORGANIZATION"}
+        elif etype in ("LOC", "LOCATION"):
+            e = {**e, "entity_group": "LOCATION"}
+        elif etype == "MISC":
+            continue
+        out.append(e)
+    return out
+
+
+def apply_options(entities: list[dict],
+                  options: Optional[dict[str, bool]]) -> list[dict]:
+    if not options:
+        return entities
+    return [e for e in entities
+            if options.get(e.get("entity_group", "").upper(), True)]
+
+
+def normalize_full(etype: str) -> Optional[str]:
+    """Full alias->canonical map (entity_type_mapping.json); None = drop."""
+    return C.ENTITY_TYPE_MAPPING.get(etype.upper(), etype.upper())
+
+
+# ---------------------------------------------------------------------------
+# Full per-document detection (the /detect semantics)
+# ---------------------------------------------------------------------------
+
+def detect_document(text: str,
+                    options: Optional[dict[str, bool]] = None,
+                    domains: Optional[list[str]] = None) -> list[dict]:
+    """Reproduce `_detect_entities_single` + server normalization for one
+    document.  Detector order pinned (see module docstring)."""
+    if not text:
+        return []
+    if domains is None:
+        domains = classify_domains(text)
+    all_entities: list[dict] = []
+    all_entities.extend(detect_presidio(text))
+    all_entities.extend(detect_regex(text))
+    if C.ENGINE_CONFIG["enable_context_detection"]:
+        all_entities.extend(detect_contextual(text))
+    all_entities.extend(_model_entities(text, "general"))
+    if "medical" in domains and C.ENGINE_CONFIG["enable_medical_pii"]:
+        all_entities.extend(_model_entities(text, "medical"))
+    if C.ENGINE_CONFIG["enable_pii_specialized"]:
+        all_entities.extend(_model_entities(text, "pii_specialized"))
+    if C.ENGINE_CONFIG["enable_fallback_name_detector"]:
+        all_entities.extend(detect_fallback_names(text, all_entities))
+    processed = post_process(all_entities, text)
+    processed = normalize_server(processed)
+    return apply_options(processed, options)
+
+
+def detect_batch(texts: Iterable[str],
+                 options: Optional[dict[str, bool]] = None) -> list[list[dict]]:
+    """Batch variant; per-text failures degrade to an empty mention list
+    (mirrors server/detection_engine.py:202-207)."""
+    out = []
+    for t in texts:
+        try:
+            out.append(detect_document(t or "", options))
+        except Exception:
+            out.append([])
+    return out

@@ -1,0 +1,114 @@
+"""Spark detection stage: documents -> mentions table.
+
+The reference fans each text out to seven detectors over threads +
+JSON-RPC microservices (server/detection_engine.py:227-274).  Here the
+whole detector union runs INSIDE one ``mapInPandas`` pass: one scan of
+the input, Arrow-batched into pandas, each batch expanded to mention
+rows by the pure kernel (redactify_spark.detect.kernel).  No per-row
+Python at the Spark level, no RPC tier, no second scan -- per-document
+"concurrency" is partition parallelism.
+
+Output mention schema (SURVEY.md §1.3):
+  <id col>, entity_group, start, end, score, detector, surface, pseudo_key
+where pseudo_key = '[TYPE-' || md5(surface)[:6] || ']' -- the reference's
+A1 pseudonym (server/anonymization_engine.py:229-242), reused as the
+stable join key for linking/canonicalization.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MENTION_FIELDS = [
+    T.StructField("entity_group", T.StringType()),
+    T.StructField("start", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("detector", T.StringType()),
+    T.StructField("surface", T.StringType()),
+    T.StructField("pseudo_key", T.StringType()),
+]
+
+
+def _pseudo_key(surface: str, etype: str) -> str:
+    h = hashlib.md5(surface.encode("utf-8")).hexdigest()[:6]
+    return f"[{etype.upper()}-{h}]"
+
+
+def detect_mentions(df: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    options: Optional[dict[str, bool]] = None) -> DataFrame:
+    """Run the full reference detector chain over ``df[text_col]``.
+
+    Returns one row per post-processed mention, keyed by ``id_col``.
+    Executors import the kernel module once per python worker (pattern
+    compilation amortized across all batches -- mirrors the reference's
+    startup-time compile, server/detection_engine.py:124-153).
+    """
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType)] + MENTION_FIELDS)
+    captured_options = dict(options) if options else None
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the task so the worker compiles patterns once
+        from redactify_spark.detect import kernel
+
+        for pdf in batches:
+            ids, rows = pdf[id_col].tolist(), pdf[text_col].tolist()
+            rec: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for doc_id, text in zip(ids, rows):
+                for m in kernel.detect_document(text or "", captured_options):
+                    surface = m.get("entity_text", "")
+                    etype = m["entity_group"]
+                    rec[id_col].append(doc_id)
+                    rec["entity_group"].append(etype)
+                    rec["start"].append(m["start"])
+                    rec["end"].append(m["end"])
+                    rec["score"].append(float(m["score"]))
+                    rec["detector"].append(m.get("detector", "unknown"))
+                    rec["surface"].append(surface)
+                    rec["pseudo_key"].append(_pseudo_key(surface, etype))
+            yield pd.DataFrame(rec)
+
+    return df.select(id_col, text_col).mapInPandas(scan, schema=out_schema)
+
+
+def anonymize_documents(df: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        strategy: str = "pseudonymize",
+                        preserve_format: bool = True) -> DataFrame:
+    """Detection + splice rewrite in a single pass: returns
+    (id, anonymized_text, n_entities).  Mirrors POST /anonymize
+    (server/server.py:133-222) for mask-parity tests."""
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_col, id_field.dataType),
+        T.StructField("anonymized_text", T.StringType()),
+        T.StructField("n_entities", T.IntegerType()),
+    ])
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from redactify_spark.detect import anonymize as anon
+        from redactify_spark.detect import kernel
+
+        for pdf in batches:
+            ids, out_text, n_ents = [], [], []
+            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                ms = kernel.detect_document(text or "")
+                ids.append(doc_id)
+                out_text.append(anon.anonymize_text(text or "", ms, strategy,
+                                                    preserve_format))
+                n_ents.append(len(ms))
+            yield pd.DataFrame({id_col: ids, "anonymized_text": out_text,
+                                "n_entities": n_ents})
+
+    return df.select(id_col, text_col).mapInPandas(rewrite, schema=out_schema)

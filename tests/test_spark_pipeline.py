@@ -1,0 +1,81 @@
+"""Spark pipeline integration: detection stage, triples, P/R vs oracle,
+partitioning-invariance."""
+
+import pytest
+
+from redactify_spark.detect import kernel
+from redactify_spark.operators.detection import (anonymize_documents,
+                                                 detect_mentions)
+from redactify_spark.operators.triples import all_triples, contact_triples
+from redactify_spark.sources import pages as P
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return P.extract_text_column(P.synth_pages(spark, N, partitions=4)).cache()
+
+
+@pytest.fixture(scope="module")
+def mentions_df(spark, pages_df):
+    return detect_mentions(pages_df, id_col="url", text_col="text").cache()
+
+
+def oracle_triples():
+    """Driver-side oracle: run the SAME kernel per synthesized doc."""
+    expected = set()
+    for i in range(N):
+        url, text = P.page_url(i), P.synth_text(i)
+        for m in kernel.detect_document(text):
+            expected.add((url, f"mentions_{m['entity_group'].lower()}",
+                          m["entity_text"]))
+    return expected
+
+
+def test_triple_precision_recall(mentions_df):
+    got = {(r.subj, r.pred, r.obj) for r in
+           all_triples(mentions_df, id_col="url")
+           .where("pred like 'mentions_%'").collect()}
+    exp = oracle_triples()
+    tp = len(got & exp)
+    precision = tp / len(got)
+    recall = tp / len(exp)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # with an identical kernel both should in fact be exact:
+    assert got == exp
+
+
+def test_partitioning_invariance(spark, pages_df):
+    """Same triple set regardless of partition count (local[8] vs local[32]
+    equivalence evidence at the operator level)."""
+    m2 = detect_mentions(pages_df.repartition(2), id_col="url",
+                         text_col="text")
+    m16 = detect_mentions(pages_df.repartition(16), id_col="url",
+                          text_col="text")
+    s2 = {tuple(r) for r in m2.collect()}
+    s16 = {tuple(r) for r in m16.collect()}
+    assert s2 == s16
+
+
+def test_contact_triples_join(mentions_df):
+    rows = contact_triples(mentions_df, id_col="url").collect()
+    assert rows, "expected entity->contact co-mention edges"
+    assert all(r.pred == "has_contact" for r in rows)
+    # every page has a PERSON + an EMAIL -> at least one edge per page
+    assert len({r.prov_doc for r in rows}) == N
+
+
+def test_anonymize_documents_stage(spark, pages_df):
+    out = anonymize_documents(pages_df.limit(10), id_col="url",
+                              text_col="text").collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_entities > 0
+        assert "@" not in r.anonymized_text or "[EMAIL_ADDRESS-" in r.anonymized_text
+
+
+def test_mentions_schema(mentions_df):
+    names = [f.name for f in mentions_df.schema.fields]
+    assert names == ["url", "entity_group", "start", "end", "score",
+                     "detector", "surface", "pseudo_key"]
