@@ -1,0 +1,77 @@
+"""Connected components over the match graph (canonicalization core).
+
+GraphFrames is not a dependency; this is a native DataFrame
+implementation of iterative hash-min label propagation: every node
+starts labeled with itself, and each round adopts the minimum label in
+its closed neighborhood.  Rounds = graph diameter; entity-linking match
+graphs are unions of small near-duplicate clusters (diameter <= ~5), so
+convergence is fast.  For adversarial long chains the alternating
+large-star/small-star variant would cut rounds to O(log n); the simple
+propagation keeps the plan to one shuffle join + one aggregation per
+round, which wins for the shallow graphs this pipeline produces.
+
+Scale mechanics:
+- each round is join(labels, edges) + groupBy(min) -- both shuffle on
+  the node key, so AQE reuses the same hash partitioning round to round;
+- lineage is cut with localCheckpoint every round (iterative plans
+  otherwise grow Catalyst trees exponentially); on a cluster the
+  checkpoint goes to the checkpoint dir / an Iceberg stage table
+  (plans/checkpoint.py);
+- convergence test is an aggregate count of changed labels (a cheap
+  boolean reduction, not a collect of the labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame,
+                         src: str = "key_a", dst: str = "key_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Return (node, component) with component = min node id reachable.
+
+    `edges` is undirected input (one row per pair, either order).
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v")))
+           .dropDuplicates(["u", "v"]))
+    sym = sym.localCheckpoint()
+
+    labels = (sym.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+
+    for _ in range(max_iter):
+        # neighbor labels: for each node, min label among neighbors
+        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u").alias("node"))
+               .agg(F.min("component").alias("nbr_component")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_component"),
+                                                 F.col("component")))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(mentions: DataFrame, edges: DataFrame) -> DataFrame:
+    """(pseudo_key, canon_id): every mention key mapped to its component
+    representative; singletons map to themselves."""
+    comp = connected_components(edges)
+    keys = mentions.select("pseudo_key").distinct()
+    return (keys.join(comp.withColumnRenamed("node", "pseudo_key"),
+                      "pseudo_key", "left")
+            .select("pseudo_key",
+                    F.coalesce("component", "pseudo_key").alias("canon_id")))
