@@ -1,0 +1,248 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four families, all over `documents(doc_id, text, ...)`:
+
+- exact:    hash-groupBy on md5(text) (one shuffle, map-side combinable)
+- minhash:  shingle -> MinHash -> banded LSH -> bucket-join -> verified
+            Jaccard -> connected components -> keep min doc_id per cluster
+- simhash:  64-bit SimHash over tokens; near-dup = hamming distance <= k,
+            blocked by 4x16-bit bands (each a shuffle-friendly equi-join)
+- ngram:    exact n-gram Jaccard verification (used as the verifier for
+            both LSH families; also standalone for small blocks)
+
+Scale: every candidate generation step is an equi-join on a band/bucket
+key -- never a cross join.  The bucket-width cap from linking.py applies
+(boilerplate-heavy corpora put millions of docs in one bucket; capped
+buckets are counted, not silently exploded).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from redactify_spark.operators.linking import (MAX_BUCKET, N_BANDS,
+                                               minhash_signature,
+                                               normalize_surface,
+                                               band_signatures)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content_hash, n_dups, keep_id, dup_ids): groups with >1 member."""
+    h = docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+    return (h.groupBy("content_hash")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("dup_ids"))
+            .where(F.col("n_dups") > 1))
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative of each exact-content group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+# --- word-shingle MinHash dedup ---------------------------------------------
+
+_DOC_BANDS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("sig", T.LongType()),
+])
+
+
+def _word_shingles(text: str, k: int = 3) -> set[int]:
+    words = normalize_surface(text).split()
+    if len(words) < k:
+        joined = " ".join(words)
+        return {int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)}
+    return {int(hashlib.md5(" ".join(words[i:i + k]).encode())
+                .hexdigest()[:15], 16)
+            for i in range(len(words) - k + 1)}
+
+
+def doc_minhash_bands(docs: DataFrame, text_col: str = "text",
+                      k: int = 3) -> DataFrame:
+    def mh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, sigs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                sh = _word_shingles(text or "", k)
+                for b, s in enumerate(band_signatures(minhash_signature(sh))):
+                    ids.append(int(doc_id))
+                    bands.append(b)
+                    sigs.append(s & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "sig": sigs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        mh, schema=_DOC_BANDS_SCHEMA)
+
+
+def minhash_candidates(bands: DataFrame,
+                       max_bucket: int = MAX_BUCKET) -> DataFrame:
+    sized = bands.withColumn(
+        "n", F.count("*").over(Window.partitionBy("band", "sig")))
+    narrow = sized.where(F.col("n") <= max_bucket).drop("n")
+    a = narrow.select("band", "sig", F.col("doc_id").alias("id_a"))
+    b = narrow.select("band", "sig", F.col("doc_id").alias("id_b"))
+    return (a.join(b, ["band", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame,
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """Join texts back and compute exact word-shingle Jaccard per pair."""
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col(text_col).alias("text_b"))
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ja = []
+            for t1, t2 in zip(pdf["text_a"], pdf["text_b"]):
+                s1, s2 = _word_shingles(t1 or "", k), _word_shingles(t2 or "", k)
+                inter = len(s1 & s2)
+                ja.append(inter / (len(s1) + len(s2) - inter) if inter else 0.0)
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "jaccard": ja})
+
+    return joined.mapInPandas(score, schema=schema)
+
+
+def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      threshold: float = 0.7, k: int = 3) -> DataFrame:
+    bands = doc_minhash_bands(docs, text_col, k)
+    cands = minhash_candidates(bands)
+    return (verify_jaccard(cands, docs, text_col, k)
+            .where(F.col("jaccard") >= threshold))
+
+
+def dedup_minhash(docs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.7) -> DataFrame:
+    """Cluster near-dups (connected components over dup pairs) and keep the
+    min-doc_id representative per cluster."""
+    from redactify_spark.operators.components import connected_components
+    pairs = minhash_dup_pairs(docs, text_col, threshold)
+    comp = connected_components(
+        pairs.select(F.col("id_a").cast("string").alias("key_a"),
+                     F.col("id_b").cast("string").alias("key_b")))
+    rep = (comp.groupBy("component")
+           .agg(F.min(F.col("node").cast("long")).alias("keep_id")))
+    drop = (comp.join(rep, "component")
+            .where(F.col("node").cast("long") != F.col("keep_id"))
+            .select(F.col("node").cast("long").alias("doc_id")))
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes)."""
+    v = np.zeros(64, dtype=np.int64)
+    for tok in normalize_surface(text).split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        v += np.where(bits.astype(np.int64) == 1, 1, -1)
+    out = 0
+    for i, x in enumerate(v):
+        if x > 0:
+            out |= (1 << (63 - i))
+    return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
+
+
+def doc_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "simhash": [simhash64(t or "") for t in pdf[text_col]],
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        sh, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the four 16-bit bands
+    (a pair within hamming<=3 must agree exactly on >=1 band), then verify
+    hamming distance natively with bit_count(xor)."""
+    sh = doc_simhash(docs, text_col)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), i * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+            for i in range(4)])).alias("bb")) \
+        .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                F.col("bb.bits").alias("bits"))
+    a = banded.select("band", "bits", F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "bits", F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    return (a.join(b, ["band", "bits"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("hamming") <= max_hamming))
+
+
+# --- native n-gram Jaccard (oracle-expressible) ------------------------------
+
+def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
+                               n: int = 3, block_col: str = "source",
+                               threshold: float = 0.5) -> DataFrame:
+    """Character-n-gram Jaccard between documents within a block, expressed
+    ENTIRELY in native Spark SQL functions (sequence/transform/
+    array_distinct/array_intersect) so whole-stage codegen applies and a
+    DuckDB oracle can mirror it exactly.  Blocked equi-join, not a cross
+    join; for unblocked corpora use minhash_dup_pairs instead."""
+    grams = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("_block"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(
+                    F.length(text_col) - (n - 1), F.lit(1))),
+                lambda i: F.col(text_col).substr(i, F.lit(n))))
+        .alias("grams"))
+    a = grams.select("_block", F.col("doc_id").alias("id_a"),
+                     F.col("grams").alias("g_a"))
+    b = grams.select("_block", F.col("doc_id").alias("id_b"),
+                     F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (a.join(b, "_block")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (inter.cast("double") / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

@@ -1,0 +1,153 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two paths over `embeddings(vec_id, embedding array<float>, label)`:
+
+- brute_force_topk: exact cosine top-k against a query vector, computed
+  natively with F.zip_with + F.aggregate (JVM-side, whole-stage codegen;
+  no Python in the loop). This is the correctness baseline and is fine
+  up to ~10^7 vectors per query batch.
+- lsh_topk: random-hyperplane (sign) LSH bucketing -- probe only the
+  buckets matching the query signature, then exact cosine inside.  At
+  10^9+ vectors this turns a full scan into a bucket-pruned scan; the
+  signature column is precomputable and partition-prunable when the
+  table is written bucketed by signature.
+
+Hyperplanes are md5-seeded deterministic, so signatures are stable
+across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 12  # default for signature_expr at scale; lsh_topk auto-sizes
+
+
+def _norm_expr(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
+def cosine_expr(col, qvec: list[float]):
+    """Native cosine similarity between an array column and a literal."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+    lit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(col, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm_expr(col) * F.lit(qn))
+
+
+def brute_force_topk(embeddings: DataFrame, qvec: list[float],
+                     k: int = 10, vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k; deterministic tiebreak on vec_id."""
+    return (embeddings
+            .select("vec_id", cosine_expr(F.col(vec_col), qvec).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (md5 expansion)."""
+    rows = []
+    for p in range(n_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"plane{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                vals.append(int.from_bytes(h[off:off + 4], "big")
+                            / 2**31 - 1.0)
+            i += 1
+        rows.append(vals[:dim])
+    return np.asarray(rows, dtype=np.float64)
+
+
+def signature_expr(col, planes: np.ndarray):
+    """Sign-LSH signature as a native integer expression: bit p set iff
+    dot(vec, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes.shape[0]):
+        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(col, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def adaptive_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Plane count sized so buckets average ~target_bucket vectors: too
+    many planes on a small corpus shatters neighbors into empty buckets."""
+    import math
+    return max(4, min(20, int(math.log2(max(n_vectors, 1) / target_bucket + 1))))
+
+
+def lsh_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
+             vec_col: str = "embedding", dim: int | None = None,
+             n_planes: int | None = None,
+             max_probe_hamming: int = 2) -> DataFrame:
+    """Bucket-pruned ANN: scan only buckets whose signature is within
+    `max_probe_hamming` bits of the query signature, exact cosine inside.
+
+    At scale the signature is a stored column (partition/bucket pruning at
+    the scan); here it is computed inline for self-containedness."""
+    dim = dim or len(qvec)
+    if n_planes is None:
+        n_planes = adaptive_planes(embeddings.count())
+    planes = _hyperplanes(dim, n_planes)
+    q = np.asarray(qvec, dtype=np.float64)
+    qsig = 0
+    for p in range(planes.shape[0]):
+        if float(planes[p] @ q) > 0:
+            qsig |= (1 << p)
+    probe = {qsig}
+    if max_probe_hamming >= 1:
+        probe |= {qsig ^ (1 << b) for b in range(n_planes)}
+    if max_probe_hamming >= 2:
+        probe |= {qsig ^ (1 << b) ^ (1 << c)
+                  for b in range(n_planes) for c in range(b + 1, n_planes)}
+    probe = sorted(probe)
+    sigged = embeddings.withColumn("_sig",
+                                   signature_expr(F.col(vec_col), planes))
+    return (sigged.where(F.col("_sig").isin(probe))
+            .select("vec_id", cosine_expr(F.col(vec_col), qvec).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5, vec_col: str = "embedding",
+                       n_planes: int | None = None) -> DataFrame:
+    """Batch ANN: every query row against the corpus via sign-LSH bucket
+    equi-join (query sig == corpus sig), exact cosine re-rank, window
+    top-k per query.  The join is an equi-join on the signature -- shuffle
+    on a small integer key, never a cross join."""
+    from pyspark.sql.window import Window
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    if n_planes is None:
+        n_planes = adaptive_planes(embeddings.count())
+    planes = _hyperplanes(dim, n_planes)
+    corpus = embeddings.withColumn("_sig",
+                                   signature_expr(F.col(vec_col), planes))
+    qs = queries.withColumn("_sig", signature_expr(F.col(vec_col), planes)) \
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col(vec_col).alias("q_vec"), "_sig")
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("q_vec"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm_expr(F.col(vec_col)) * _norm_expr(F.col("q_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (corpus.join(qs, "_sig")
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

@@ -1,0 +1,101 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  ALL native column expressions (no UDFs) so they
+stay inside whole-stage codegen and a DuckDB oracle can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword markers per language for the n-gram heuristic language ID
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+}
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that", "it", "for")
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    return {lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+            for lang, pat in _LANG_MARKERS.items()}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und' when
+    all zero.  Deterministic tiebreak by fixed language order."""
+    counts = lang_marker_counts(text)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in ("en", "de", "fr", "es"):
+        c = counts[lang]
+        is_better = c > best_n
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(is_better, c).otherwise(best_n)
+    return best_lang
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish subword proxy: count of alternating alpha runs / digit runs /
+    single punctuation marks (the usual pre-tokenizer regex)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, mean token length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_expr(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    stop_pat = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_pat), 0))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars.cast("double")
+                    / F.greatest(n_tokens, F.lit(1)))
+    length_ok = (n_chars >= 100) & (n_chars <= 20000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0),
+                 F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 2).alias("quality_score"))
+
+
+def fingerprint_expr(text: Column, prefix_len: int = 64) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    prefix -- a cheap rolling-hash stand-in that is reproducible in any
+    engine with md5()."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(F.substring(norm, 1, prefix_len))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass combined stats table."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        lang_id_expr(t).alias("lang_pred"),
+        token_count_expr(t).alias("n_tokens"),
+        bpe_ish_token_count_expr(t).alias("n_subwords"),
+        fingerprint_expr(t).alias("fingerprint"))

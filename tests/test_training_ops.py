@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from redactify_spark.operators import dedup as D
+from redactify_spark.operators import similarity as S
+from redactify_spark.operators import textstats as X
+from redactify_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base, "s0"),
+        (1, base, "s0"),                       # exact dup of 0
+        (2, base.replace("lazy", "sleepy"), "s0"),  # near dup of 0
+        (3, "completely different content about spark joins and shuffles", "s0"),
+        (4, "der hund und die katze sind in der stadt und das ist gut", "s1"),
+        (5, "le chat et le chien sont dans la ville et c est bon", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_ids == [0, 1] and groups[0].keep_id == 0
+
+
+def test_dedup_exact_keeps_min(spark, docs):
+    kept = {r.doc_id for r in D.dedup_exact(docs).collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+
+# --- minhash dedup -----------------------------------------------------------
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_dup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_dedup_minhash_clusters(spark, docs):
+    kept = {r.doc_id for r in D.dedup_minhash(docs, threshold=0.5).collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {3, 4, 5} <= kept
+
+
+# --- simhash ------------------------------------------------------------------
+
+def test_simhash_deterministic_and_near(spark):
+    a = D.simhash64("the quick brown fox jumps over the lazy dog")
+    b = D.simhash64("the quick brown fox jumps over the lazy dog")
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+def test_simhash_dup_pairs(spark, docs):
+    rows = D.simhash_dup_pairs(docs, max_hamming=6).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert (0, 1) in got  # identical text -> hamming 0
+    for r in rows:
+        if (r.id_a, r.id_b) == (0, 1):
+            assert r.hamming == 0
+
+
+# --- native n-gram jaccard ----------------------------------------------------
+
+def test_ngram_jaccard_native(spark, docs):
+    rows = D.ngram_jaccard_pairs_native(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    assert (0, 3) not in got
+
+
+# --- similarity search ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.where("vec_id = 0").first().embedding
+    top = S.brute_force_topk(embeddings, list(q), k=5).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos - 1.0) < 1e-9
+    assert len(top) == 5
+    assert all(top[i].cos >= top[i + 1].cos - 1e-12 for i in range(4))
+
+
+def test_lsh_topk_contains_query(spark, embeddings):
+    q = embeddings.where("vec_id = 0").first().embedding
+    top = S.lsh_topk(embeddings, list(q), k=5)
+    rows = top.collect()
+    assert rows and rows[0].vec_id == 0  # query's own bucket always probed
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    q = embeddings.where("vec_id = 7").first().embedding
+    exact = [r.vec_id for r in S.brute_force_topk(embeddings, list(q), k=10).collect()]
+    approx = [r.vec_id for r in S.lsh_topk(embeddings, list(q), k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)  # adaptive planes, 2-bit probe
+
+
+def test_pairwise_topk_join(spark, embeddings):
+    queries = embeddings.limit(4)
+    rows = S.pairwise_topk_join(embeddings, queries, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert by_q, "expected at least some query buckets to match"
+    for q_id, rs in by_q.items():
+        assert len(rs) <= 3
+        assert all(x.vec_id != q_id for x in rs)
+
+
+# --- text stats ------------------------------------------------------------------
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in
+           docs.select("doc_id", X.lang_id_expr(F.col("text"))
+                       .alias("lang_pred")).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "fr"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "  ")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", X.token_count_expr(F.col("text")).alias("n"))
+           .collect()}
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello world42!")],
+                               "doc_id long, text string")
+    n = df.select(X.bpe_ish_token_count_expr(F.col("text")).alias("n")) \
+          .first().n
+    assert n == 4  # hello | world | 42 | !
+
+
+def test_quality_features(spark, docs):
+    rows = X.quality_features(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_fingerprint_stable(spark, docs):
+    a = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", X.fingerprint_expr(F.col("text")).alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", X.fingerprint_expr(F.col("text")).alias("fp")).collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical docs share a fingerprint
+    assert a[0] != a[3]
+
+
+# --- multimodal plumbing -----------------------------------------------------------
+
+def test_media_synthesis_and_features(spark):
+    media = M.synth_media(spark, 30, partitions=2)
+    assert media.count() == 30
+    feats = M.extract_features(media, fake_decode=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == 8 and r.feat_norm > 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xx", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = M.synth_media(spark, 30, partitions=2)
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r.frame_ts % 1000 == 0 for r in rows)
+    vids = media.where("kind = 'video'").count()
+    assert len({r.media_id for r in rows}) == vids
