@@ -178,14 +178,25 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(score, schema=_SCORED_SCHEMA)
 
 
+LINKABLE_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
+
+
 def match_edges(mentions: DataFrame, threshold: float = 0.55,
-                same_type_only: bool = True) -> DataFrame:
+                same_type_only: bool = True,
+                link_types: tuple[str, ...] | None = LINKABLE_TYPES
+                ) -> DataFrame:
     """Full linking stage: mentions -> match edges (key_a, key_b, jaccard).
 
     Keys encode the entity type ('[PERSON-x]'), so same_type_only is
     enforced by construction of pseudo_key prefixes when requested.
+    Only name-like types fuzzy-link by default (link_types): identifier
+    types (emails, phones, SSNs) are identity-keyed -- two different
+    addresses are different entities no matter how string-similar.
     """
-    ents = mentions.select("pseudo_key", "surface").dropDuplicates(["pseudo_key"])
+    ents = mentions
+    if link_types is not None and "entity_group" in mentions.columns:
+        ents = ents.where(F.col("entity_group").isin(*link_types))
+    ents = ents.select("pseudo_key", "surface").dropDuplicates(["pseudo_key"])
     bands = surface_bands(ents)
     pairs = candidate_pairs(bands)
     if same_type_only:
