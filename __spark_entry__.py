@@ -39,7 +39,8 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from redactify_spark.sources.pages import synth_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("text", T.StringType())])
 
@@ -64,7 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from redactify_spark.operators.detection import detect_mentions
 
     pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
-    mentions = detect_mentions(pages, id_col="doc_id", text_col="text")
+    mentions = detect_mentions(pages, id_col="doc_id",
+                               text_col="text").persist()
     orgs = (mentions.where(F.col("entity_group") == "ORGANIZATION")
             .select(F.col("doc_id"), F.col("surface").alias("org")))
     emails = (mentions.where(F.col("entity_group") == "EMAIL_ADDRESS")
@@ -370,7 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from redactify_spark.operators.detection import detect_mentions
         from redactify_spark.operators.triples import all_triples
         pages = _pages_from_documents(spark, sf)
-        m = detect_mentions(pages, id_col="doc_id", text_col="text")
+        m = detect_mentions(pages, id_col="doc_id",
+                            text_col="text").persist()
         return (all_triples(m, id_col="doc_id")
                 .groupBy("pred")
                 .agg(F.count("*").cast("long").alias("n_triples"))

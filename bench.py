@@ -1,0 +1,161 @@
+"""Benchmark harness: headline KG pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
+   "docs_per_sec": ..., "conf": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_DOC_MULT       pages per document row (default 8; detection is the
+                       dominant cost, so volume scales the headline metric)
+
+Scaling evidence (BASELINE.md: throughput efficiency >= 0.8 from N to 4N):
+  python bench.py --scaling      runs the SAME detection+triples job at
+  local[8] then local[32] on identical input and reports throughput at
+  both plus efficiency = tput32 / (4 * tput8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "8"))
+
+
+def _pages(spark, sf_dir: str, mult: int):
+    """Deterministic page corpus: every documents row expanded to `mult`
+    synthetic pages (doc text as filler, PII injected per synthetic id)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from redactify_spark.sources.pages import synth_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the source parquet is one small file -> one input partition; spread
+    # the expensive detection stage across all cores explicitly
+    par = spark.sparkContext.defaultParallelism * 2
+    exp = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")) \
+        .repartition(par)
+    schema = T.StructType([T.StructField("page_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = (pdf["doc_id"].astype("int64") * mult
+                   + pdf["rep"].astype("int64"))
+            yield pd.DataFrame({
+                "page_id": ids,
+                "text": [synth_text(int(i), filler=t or "")
+                         for i, t in zip(ids, pdf["text"])],
+            })
+
+    return exp.mapInPandas(gen, schema=schema)
+
+
+def run_kg_job(spark, sf_dir: str, mult: int, out_dir: str) -> dict:
+    """The headline job: pages -> detection -> triples -> parquet write."""
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.operators.triples import all_triples
+
+    pages = _pages(spark, sf_dir, mult)
+    n_docs = pages.count()  # materialization cost counted separately
+    t0 = time.time()
+    mentions = detect_mentions(pages, id_col="page_id", text_col="text")
+    # triples union has two consumers of mentions: persist so the
+    # detection UDTF runs exactly once
+    mentions = mentions.persist()
+    mentions.count()
+    triples = all_triples(mentions, id_col="page_id")
+    triples.write.mode("overwrite").parquet(out_dir)
+    elapsed = time.time() - t0
+    mentions.unpersist()
+    n_triples = spark.read.parquet(out_dir).count()
+    return {"sec": elapsed, "n_docs": n_docs, "n_triples": n_triples,
+            "docs_per_sec": round(n_docs / elapsed, 1),
+            "triples_per_sec": round(n_triples / elapsed, 1)}
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    picks = ["q01_lineitem_agg", "q05_broadcast_dim_join", "q11_topk",
+             "q15_ngram_jaccard", "q16_token_stats", "q20_time_window_agg",
+             "q30_detect_mentions", "q31_triples", "q36_minhash_dedup",
+             "q38_ann_topk"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(master_cpus: int, mult: int, sf_dir: str,
+               with_queries: bool) -> dict:
+    from redactify_spark.plans.session import build_session
+
+    spark = build_session(f"bench-{master_cpus}",
+                          master=f"local[{master_cpus}]",
+                          shuffle_partitions=master_cpus)
+    out_dir = tempfile.mkdtemp(prefix="bench_triples_")
+    try:
+        kg = run_kg_job(spark, sf_dir, mult, out_dir)
+        queries = run_queries(spark, sf_dir) if with_queries else {}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+    return {"kg": kg, "queries": queries}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = bench_once(lo, DOC_MULT, SF_DIR, with_queries=False)
+        r_hi = bench_once(hi, DOC_MULT, SF_DIR, with_queries=False)
+        tput_lo = r_lo["kg"]["docs_per_sec"]
+        tput_hi = r_hi["kg"]["docs_per_sec"]
+        eff = tput_hi / ((hi / lo) * tput_lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
+            "queries": {},
+            "detail": {
+                f"local[{lo}]": r_lo["kg"], f"local[{hi}]": r_hi["kg"],
+                "throughput_lo_docs_per_sec": tput_lo,
+                "throughput_hi_docs_per_sec": tput_hi,
+            }}))
+        return
+
+    res = bench_once(CPUS, DOC_MULT, SF_DIR, with_queries=True)
+    kg = res["kg"]
+    print(json.dumps({
+        "metric": "kg_pipeline_sec",
+        "value": round(kg["sec"], 3),
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": SF_DIR,
+        "n_docs": kg["n_docs"],
+        "n_triples": kg["n_triples"],
+        "docs_per_sec": kg["docs_per_sec"],
+        "triples_per_sec": kg["triples_per_sec"],
+        "conf": {"cpus": CPUS, "doc_mult": DOC_MULT},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,211 @@ REGEX_BANK: list[dict] = [
     {"type": "ID_NUMBER", "pattern": r"Employee\s+ID:?\s*([A-Za-z0-9\-]+)", "context": []},
 ]
 
+
+# Necessary-literal prefilters: pattern -> lowercase substrings of
+# which at least one MUST occur in lower(text) for the pattern to
+# match at all.  Pure pruning -- semantics-equivalence is asserted by
+# tests/test_kernel_spans.py::test_prefilter_equivalence.
+REGEX_PREFILTERS: dict[str, list[str]] = {
+ "\\b\\d{3}-\\d{2}-\\d{4}\\b": [
+  "-"
+ ],
+ "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b": [
+  "."
+ ],
+ "\\b([0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}\\b": [
+  ":",
+  "-"
+ ],
+ "\\b([0-9A-Fa-f]{2}[.]){5}[0-9A-Fa-f]{2}\\b": [
+  "."
+ ],
+ "\\bhttps?://[^\\s]+\\b": [
+  "http"
+ ],
+ "\\b(?:www\\.)[a-z0-9-]+(?:\\.[a-z]{2,})+(?:/[^\\s]*)?": [
+  "www."
+ ],
+ "\\b[a-z0-9-]+\\.[a-z0-9-]+\\.[a-z]{2,}(?:/[^\\s]*)?": [
+  "."
+ ],
+ "\\b\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}\\b": [
+  "/",
+  "-"
+ ],
+ "\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \\d{1,2},? \\d{4}\\b": [
+  "jan",
+  "feb",
+  "mar",
+  "apr",
+  "may",
+  "jun",
+  "jul",
+  "aug",
+  "sep",
+  "oct",
+  "nov",
+  "dec"
+ ],
+ "\\b\\d{1,2}/\\d{2}\\b": [
+  "/"
+ ],
+ "\\b\\d{4}-\\d{2}-\\d{2}\\b": [
+  "-"
+ ],
+ "\\b\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}\\b": [
+  ":"
+ ],
+ "\\b\\d{2}/\\d{2}/\\d{4}\\b": [
+  "/"
+ ],
+ "(?i)(?:password|passwd|pwd)(?::|=|\\s+is\\s+)\\s*(\\S+)": [
+  "password",
+  "passwd",
+  "pwd"
+ ],
+ "(?i)password(?:\\s+was|\\s+has\\s+been)?\\s+(?:reset|changed)(?:\\s+to)?\\s+(\\S+)": [
+  "password"
+ ],
+ "(?=.*[A-Za-z])(?=.*\\d)(?=.*[$#@!%^&*()_+])[A-Za-z\\d$#@!%^&*()_+]{8,}": [
+  "$",
+  "#",
+  "@",
+  "!",
+  "%",
+  "^",
+  "&",
+  "*",
+  "(",
+  ")",
+  "_",
+  "+"
+ ],
+ "credit card:?\\s*\\**\\d{4}": [
+  "credit card"
+ ],
+ "\\bCVV:?\\s*(\\d{3,4})\\b": [
+  "cvv"
+ ],
+ "\\bCVC:?\\s*(\\d{3,4})\\b": [
+  "cvc"
+ ],
+ "\\bsecurity\\s+code:?\\s*(\\d{3,4})\\b": [
+  "security"
+ ],
+ "(?i)api[_-]?key(?::|=|\\s+is\\s+)\\s*([A-Za-z0-9\\-_\\.]{8,})\\b": [
+  "api"
+ ],
+ "(?i)(?:api|app|access)[_-]?(?:key|token|secret|id)(?::|=|\\s+is\\s+)\\s*\\S+": [
+  "api",
+  "app",
+  "access"
+ ],
+ "ey[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]*": [
+  "ey"
+ ],
+ "gh[pousr]_[A-Za-z0-9_]{16,}\\b": [
+  "gh"
+ ],
+ "(?i)(?:deploy|access|auth|oauth)[_-]?token(?::|=|\\s+is\\s+)\\s*\\S+": [
+  "token"
+ ],
+ "(?i)(?:bearer|basic|digest|oauth)[_-]?token(?::|=|\\s+is\\s+)\\s*\\S+": [
+  "token"
+ ],
+ "(?i)auth(?:entication)?(?::|=|\\s+is\\s+)\\s*\\S+": [
+  "auth"
+ ],
+ "(?i)credential(?:s)?(?::|=|\\s+is\\s+)\\s*\\S+": [
+  "credential"
+ ],
+ "session\\s+key:?\\s*\\S+": [
+  "session"
+ ],
+ "\\brouting[:\\s]+(\\d{9})\\b": [
+  "routing"
+ ],
+ "\\baccount\\s+(?:number|#)?[:\\s]+(\\d+)\\b": [
+  "account"
+ ],
+ "\\b(?:account|acct)(?:.+?)ending in (\\d{4})\\b": [
+  "account",
+  "acct"
+ ],
+ "ending in \\d{4}": [
+  "ending in"
+ ],
+ "card \\(ending in \\d{4}": [
+  "card (ending"
+ ],
+ "(?:bank|checking|savings)\\s+account:?\\s*(\\d{8,})": [
+  "bank",
+  "checking",
+  "savings"
+ ],
+ "routing\\s+number:?\\s*(\\d{8,})": [
+  "routing"
+ ],
+ "\\b(?:roll|enrollment|student)(?:.+?)(?:number|no|#)?[:\\s]+([A-Za-z0-9\\-]{5,10})\\b": [
+  "roll",
+  "enrollment",
+  "student"
+ ],
+ "\\busername[:\\s]+(\\S+)\\b": [
+  "username"
+ ],
+ "\\blogin[:\\s]+(\\S+)\\b": [
+  "login"
+ ],
+ "\\buser(?:name)?[:\\s]+(\\S+)\\b": [
+  "user"
+ ],
+ "(?:iPhone|iPad|MacBook|Android|Windows|Device)\\s+(?:\\w+\\s+)?\\w+": [
+  "iphone",
+  "ipad",
+  "macbook",
+  "android",
+  "windows",
+  "device"
+ ],
+ "Serial\\s+Number:?\\s+([A-Z0-9]{5,})": [
+  "serial"
+ ],
+ "(?:Order|Invoice)(?:\\s+(?:Number|#|ID|No\\.?)):\\s*([A-Za-z0-9\\-]+)": [
+  "order",
+  "invoice"
+ ],
+ "(?:Customer|Account)(?:\\s+(?:ID|#|No\\.?)):\\s*([A-Za-z0-9\\-]+)": [
+  "customer",
+  "account"
+ ],
+ "\\b(?:patient|medical|health|record)\\s+(?:id|number|#):\\s*([A-Za-z0-9\\-]+)": [
+  "patient",
+  "medical",
+  "health",
+  "record"
+ ],
+ "\\b(?:MRN|PHN)(?::|#|\\s+number)?\\s*:?\\s*([A-Za-z0-9\\-]+)": [
+  "mrn",
+  "phn"
+ ],
+ "Medical Insurance ID:?\\s*([A-Za-z0-9\\-]+)": [
+  "medical insurance"
+ ],
+ "Provider ID:?\\s*([A-Za-z0-9\\-]+)": [
+  "provider"
+ ],
+ "\\b(?:passport|driver|license|id)\\s+(?:number|#):\\s*([A-Za-z0-9\\-]+)": [
+  "passport",
+  "driver",
+  "license",
+  "id"
+ ],
+ "Employee\\s+ID:?\\s*([A-Za-z0-9\\-]+)": [
+  "employee"
+ ]
+}
+
 # --- Blocklist (context-gate rejection).  server/blocklist.json:2-12 ------
 BLOCKLIST: frozenset[str] = frozenset({
     "Submitted", "Customer", "Issue Description", "Order Number", "Account",
@@ -316,6 +521,61 @@ PII_PATTERNS: list[dict] = [
     {"name": "fingerprint", "pattern": r"\b(?:fingerprint|biometric)[-\s]?(?:id|data)\b", "iflags": True, "type": "BIOMETRIC_IDENTIFIER", "conf": 0.90},
     {"name": "dna", "pattern": r"\b(?:dna|genetic)[-\s]?(?:profile|data|sequence)\b", "iflags": True, "type": "BIOMETRIC_IDENTIFIER", "conf": 0.90},
 ]
+
+
+PII_PREFILTERS: dict[str, list[str]] = {
+ "email": [
+  "@"
+ ],
+ "username": [
+  "@"
+ ],
+ "url": [
+  "http"
+ ],
+ "ip_address": [
+  "."
+ ],
+ "date": [
+  "/",
+  "-"
+ ],
+ "age": [
+  "year",
+  "yo",
+  "y.o",
+  "y o"
+ ],
+ "employee_id": [
+  "emp",
+  "staff"
+ ],
+ "student_id": [
+  "student",
+  "roll"
+ ],
+ "case_number": [
+  "case",
+  "ticket",
+  "ref"
+ ],
+ "medical_record": [
+  "mrn",
+  "medical"
+ ],
+ "insurance_id": [
+  "insurance",
+  "policy"
+ ],
+ "fingerprint": [
+  "fingerprint",
+  "biometric"
+ ],
+ "dna": [
+  "dna",
+  "genetic"
+ ]
+}
 
 # PII context indicators for the x1.1 model boost and the +/- pattern
 # adjustments.  server/models/pii_specialized_ner.py:339-357 (indicators),

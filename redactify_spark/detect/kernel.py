@@ -34,17 +34,31 @@ from redactify_spark import config as C
 # Pattern compilation (once per process / Spark python worker)
 # ---------------------------------------------------------------------------
 
+# Prefilters (C.REGEX_PREFILTERS / C.PII_PREFILTERS) prune patterns whose
+# necessary literal is absent from lower(text) -- a pure optimization; the
+# equivalence flag lets tests A/B both paths.
+ENABLE_PREFILTERS = True
+
 _COMPILED_BANK: list[dict] = []
 for _p in C.REGEX_BANK:
     _d = dict(_p)
     _d["compiled"] = re.compile(_p["pattern"], re.IGNORECASE)
+    _d["prefilter"] = C.REGEX_PREFILTERS.get(_p["pattern"])
     _COMPILED_BANK.append(_d)
 
 _COMPILED_PII: list[dict] = []
 for _p in C.PII_PATTERNS:
     _d = dict(_p)
     _d["compiled"] = re.compile(_p["pattern"], re.IGNORECASE if _p.get("iflags") else 0)
+    _d["prefilter"] = C.PII_PREFILTERS.get(_p["name"])
     _COMPILED_PII.append(_d)
+
+
+def _passes_prefilter(pdef: dict, text_lower: str) -> bool:
+    pf = pdef.get("prefilter")
+    if not ENABLE_PREFILTERS or pf is None:
+        return True
+    return any(lit in text_lower for lit in pf)
 
 _AMBIGUOUS_COMPANY_RES: list[tuple[re.Pattern, str, str]] = [
     (re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE), name, etype)
@@ -103,9 +117,51 @@ def _has_context(text: str, span_start: int, span_end: int,
 # D1: regex pattern bank (server/detection_engine.py:458-492)
 # ---------------------------------------------------------------------------
 
+# Fast path for the O(n^2) PASSWORD composite pattern
+# '(?=.*[A-Za-z])(?=.*\d)(?=.*[$#@!%^&*()_+])[A-Za-z\d$#@!%^&*()_+]{8,}':
+# its three lookaheads test the SUFFIX from the match start, and
+# suffix-contains conditions are monotone (once false they stay false),
+# so a candidate run matches iff run_start <= min(last letter, last
+# digit, last special).  Equivalence fuzz-tested in
+# tests/test_kernel_spans.py::test_password_fast_path_equivalence.
+_PASSWORD_COMPOSITE_SRC = (r"(?=.*[A-Za-z])(?=.*\d)(?=.*[$#@!%^&*()_+])"
+                           r"[A-Za-z\d$#@!%^&*()_+]{8,}")
+_PASSWORD_RUN = re.compile(r"[A-Za-z\d$#@!%^&*()_+]{8,}")
+_LAST_ALPHA = re.compile(r"[A-Za-z](?=[^A-Za-z]*$)")
+_LAST_DIGIT = re.compile(r"\d(?=\D*$)")
+_LAST_SPECIAL = re.compile(r"[$#@!%^&*()_+](?=[^$#@!%^&*()_+]*$)")
+
+
+def _password_composite_spans(text: str):
+    la = _LAST_ALPHA.search(text)
+    ld = _LAST_DIGIT.search(text)
+    ls = _LAST_SPECIAL.search(text)
+    if not (la and ld and ls):
+        return
+    cutoff = min(la.start(), ld.start(), ls.start())
+    for m in _PASSWORD_RUN.finditer(text):
+        if m.start() <= cutoff:
+            yield m.span()
+
+
 def detect_regex(text: str) -> list[dict]:
     out = []
+    text_lower = text.lower()
     for pdef in _COMPILED_BANK:
+        if not _passes_prefilter(pdef, text_lower):
+            continue
+        if ENABLE_PREFILTERS and pdef["pattern"] == _PASSWORD_COMPOSITE_SRC:
+            spans_iter = _password_composite_spans(text)
+            for start, end in spans_iter:
+                matched = text[start:end]
+                if _has_context(text, start, end, pdef.get("context", [])):
+                    out.append({
+                        "entity_group": pdef["type"],
+                        "start": start, "end": end,
+                        "score": 0.9,
+                        "detector": "regex_internal",
+                    })
+            continue
         for m in pdef["compiled"].finditer(text):
             start, end = m.span()
             matched = text[start:end]
@@ -368,7 +424,10 @@ def _pii_pattern_confidence(name: str, surface: str, text: str,
 
 def detect_pii_patterns(text: str) -> list[dict]:
     out = []
+    text_lower = text.lower()
     for pdef in _COMPILED_PII:
+        if not _passes_prefilter(pdef, text_lower):
+            continue
         for m in pdef["compiled"].finditer(text):
             s, e = m.span()
             surface = m.group()

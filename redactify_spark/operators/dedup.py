@@ -227,6 +227,10 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
     array_distinct/array_intersect) so whole-stage codegen applies and a
     DuckDB oracle can mirror it exactly.  Blocked equi-join, not a cross
     join; for unblocked corpora use minhash_dup_pairs instead."""
+    # small single-file scans would serialize gram computation AND the
+    # post-join filter; spread rows before the expensive array work
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
     grams = docs.select(
         F.col("doc_id"), F.col(block_col).alias("_block"),
         F.array_distinct(

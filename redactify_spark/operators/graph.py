@@ -59,6 +59,9 @@ def materialize_graph(mentions: DataFrame, id_col: str = "doc_id",
     Returns (nodes_df, edges_df, canon_df)."""
     from redactify_spark.operators.components import canonical_map
     from redactify_spark.operators.linking import match_edges
+    # mentions feeds linking, canonical_map, nodes AND edges: persist so
+    # the upstream detection UDTF is evaluated exactly once
+    mentions = mentions.persist()
     medges = match_edges(mentions, threshold=link_threshold)
     canon = canonical_map(mentions, medges).localCheckpoint()
     return (build_nodes(mentions, canon, id_col),

@@ -1,0 +1,153 @@
+"""Per-stage checkpointing with lineage + counter metrics (resume support).
+
+North-rule requirement: every stage checkpoints so the job resumes
+mid-pipeline, with per-partition lineage and counters.  Model:
+
+  stage table   <root>/<stage>/data/          (parquet; Iceberg on a real
+                                               cluster -- same API shape)
+  manifest      <root>/<stage>/_manifest.json (row_count, content_hash,
+                                               schema, wall_time, conf)
+
+`run_stage(root, name, builder)` is the unit: if the stage's manifest
+exists and is complete, the stage is SKIPPED and its table is read back
+(resume); otherwise the builder runs, the table is written atomically
+(write to _tmp, rename), and the manifest is recorded.  Content hash =
+sum of per-row xxhash64 over canonicalized columns -- order-insensitive,
+partitioning-insensitive, cheap (one extra aggregation over data already
+in memory at write time).
+
+Per-partition granularity: the parquet write already materializes one
+file per partition; the manifest records the per-partition row counts so
+a resumed run can verify integrity without rescanning content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "_manifest.json")
+
+
+def _data_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "data")
+
+
+def content_hash(df: DataFrame) -> int:
+    """Order- and partitioning-insensitive content hash: sum of row
+    hashes over name-sorted columns (distributed aggregation)."""
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    row = df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+    out = row.agg(F.sum(F.col("h")).alias("s")).collect()[0].s
+    return int(out or 0) % (1 << 61)
+
+
+def partition_counts(spark: SparkSession, path: str) -> dict[str, int]:
+    """Row count per parquet file (the per-partition lineage record)."""
+    df = spark.read.parquet(path)
+    rows = (df.groupBy(F.input_file_name().alias("file"))
+            .count().collect())
+    return {os.path.basename(r.file): r["count"] for r in rows}
+
+
+def stage_complete(root: str, stage: str) -> bool:
+    p = _manifest_path(root, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("status") == "complete"
+    except Exception:
+        return False
+
+
+def run_stage(spark: SparkSession, root: str, stage: str,
+              builder: Callable[[], DataFrame],
+              partitions: int | None = None) -> DataFrame:
+    """Execute-or-resume one pipeline stage.
+
+    Returns the stage's DataFrame (read back from the checkpoint table,
+    so downstream lineage starts from storage -- bounded plan depth and
+    true mid-pipeline resumability)."""
+    data = _data_path(root, stage)
+    if stage_complete(root, stage):
+        return spark.read.parquet(data)
+
+    t0 = time.time()
+    df = builder()
+    if partitions:
+        df = df.repartition(partitions)
+    tmp = data + "_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(data, ignore_errors=True)
+    os.replace(tmp, data)
+
+    persisted = spark.read.parquet(data)
+    manifest = {
+        "stage": stage,
+        "status": "complete",
+        "row_count": persisted.count(),
+        "content_hash": content_hash(persisted),
+        "schema": persisted.schema.simpleString(),
+        "wall_time_sec": round(time.time() - t0, 3),
+        "partitions": partition_counts(spark, data),
+    }
+    mp = _manifest_path(root, stage)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(mp + ".tmp", mp)
+    return persisted
+
+
+def read_manifest(root: str, stage: str) -> dict:
+    with open(_manifest_path(root, stage)) as f:
+        return json.load(f)
+
+
+def invalidate(root: str, stage: str) -> None:
+    """Drop a stage's checkpoint (forces recompute on next run)."""
+    shutil.rmtree(os.path.join(root, stage), ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# The checkpointed end-to-end KG pipeline
+# --------------------------------------------------------------------------
+
+def kg_pipeline(spark: SparkSession, pages: DataFrame, root: str,
+                id_col: str = "url") -> dict[str, DataFrame]:
+    """pages -> mentions -> triples -> link edges -> canon -> nodes/edges,
+    each stage checkpointed under `root`.  Kill the process after any
+    stage: rerunning resumes from the last complete stage (verified in
+    tests/test_checkpoint.py)."""
+    from redactify_spark.operators.components import canonical_map
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.operators.graph import build_edges, build_nodes
+    from redactify_spark.operators.linking import match_edges
+    from redactify_spark.operators.triples import all_triples
+
+    mentions = run_stage(spark, root, "01_mentions",
+                         lambda: detect_mentions(pages, id_col=id_col,
+                                                 text_col="text"))
+    triples = run_stage(spark, root, "02_triples",
+                        lambda: all_triples(mentions, id_col=id_col))
+    medges = run_stage(spark, root, "03_match_edges",
+                       lambda: match_edges(mentions))
+    canon = run_stage(spark, root, "04_canonical",
+                      lambda: canonical_map(mentions, medges))
+    nodes = run_stage(spark, root, "05_nodes",
+                      lambda: build_nodes(mentions, canon, id_col=id_col))
+    edges = run_stage(spark, root, "06_edges",
+                      lambda: build_edges(mentions, canon, id_col=id_col))
+    return {"mentions": mentions, "triples": triples,
+            "match_edges": medges, "canonical": canon,
+            "nodes": nodes, "edges": edges}

@@ -1,0 +1,87 @@
+"""Checkpoint/resume: byte-equal outputs after kill/resume at stage
+boundaries (BASELINE.md resumability gate)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from redactify_spark.plans import checkpoint as CP
+from redactify_spark.sources.pages import synth_pages
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def table_set(df, cols=None):
+    cols = cols or df.columns
+    return {tuple(str(v) for v in r) for r in df.select(*cols).collect()}
+
+
+def test_run_stage_writes_manifest(spark, root):
+    df = CP.run_stage(spark, root, "s1",
+                      lambda: spark.range(100).withColumnRenamed("id", "x"))
+    assert df.count() == 100
+    m = CP.read_manifest(root, "s1")
+    assert m["status"] == "complete" and m["row_count"] == 100
+    assert m["content_hash"] != 0
+    assert sum(m["partitions"].values()) == 100
+
+
+def test_resume_skips_builder(spark, root):
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(10).withColumnRenamed("id", "x")
+
+    CP.run_stage(spark, root, "s1", builder)
+    CP.run_stage(spark, root, "s1", builder)
+    assert len(calls) == 1  # second run resumed from checkpoint
+
+
+def test_invalidate_forces_recompute(spark, root):
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(10).withColumnRenamed("id", "x")
+
+    CP.run_stage(spark, root, "s1", builder)
+    CP.invalidate(root, "s1")
+    CP.run_stage(spark, root, "s1", builder)
+    assert len(calls) == 2
+
+
+def test_kill_resume_equivalence(spark, root):
+    """Run the full pipeline; then simulate a crash after stage 2 (wipe
+    stages 3+), resume, and require identical final tables."""
+    pages = synth_pages(spark, 48, partitions=4).localCheckpoint()
+
+    full = CP.kg_pipeline(spark, pages, root, id_col="url")
+    nodes_before = table_set(full["nodes"])
+    edges_before = table_set(full["edges"])
+    h_nodes = CP.content_hash(full["nodes"])
+
+    # crash after 02_triples: drop downstream checkpoints
+    for stage in ("03_match_edges", "04_canonical", "05_nodes", "06_edges"):
+        CP.invalidate(root, stage)
+
+    resumed = CP.kg_pipeline(spark, pages, root, id_col="url")
+    assert table_set(resumed["nodes"]) == nodes_before
+    assert table_set(resumed["edges"]) == edges_before
+    assert CP.content_hash(resumed["nodes"]) == h_nodes
+
+    # manifests intact for all stages
+    for stage in ("01_mentions", "02_triples", "03_match_edges",
+                  "04_canonical", "05_nodes", "06_edges"):
+        assert CP.stage_complete(root, stage)
+
+
+def test_content_hash_partition_invariant(spark):
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    assert CP.content_hash(df.repartition(2)) == \
+        CP.content_hash(df.repartition(16))

@@ -245,3 +245,52 @@ def test_detection_deterministic():
     a = kernel.detect_document(t)
     b = kernel.detect_document(t)
     assert a == b
+
+
+# --- prefilter optimization must not change semantics ----------------------
+
+def test_prefilter_equivalence():
+    """A/B the prefiltered and unfiltered regex paths over a diverse corpus
+    (all fixture-style texts + synthetic pages + adversarial literals)."""
+    import duckdb
+
+    from redactify_spark.sources.pages import synth_text
+
+    corpus = [synth_text(i) for i in range(0, 200, 3)]
+    con = duckdb.connect()
+    corpus += [r[0] for r in con.sql(
+        "select text from read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') limit 60").fetchall()]
+    corpus += [
+        "password: hunter2! CVV: 123 routing 123456789 ip 1.2.3.4",
+        "MAC 00:1B:44:11:3A:B7 at 2024-01-01T10:00:00 exp 11/26",
+        "api_key: AbCdEf123456 ghp_aaaabbbbccccdddd11 session key xyz",
+        "MRN: 12345 Provider ID: P-9 Employee ID: E42 Serial Number: SN1234",
+        "username: jdoe login: admin user: root ending in 1234 card",
+        "HTTP://UPPER.example.org and Www.Mixed.Example.com/path",
+        "Order Number: ORD-1 Customer ID: C-2 student roll no: AB123",
+        "credit card: **** 1111 2222 3333 4444 CVC: 99",
+    ]
+    for text in corpus:
+        kernel.ENABLE_PREFILTERS = True
+        with_pf = kernel.detect_document(text)
+        kernel.ENABLE_PREFILTERS = False
+        without_pf = kernel.detect_document(text)
+        kernel.ENABLE_PREFILTERS = True
+        assert with_pf == without_pf, text
+
+
+def test_password_fast_path_equivalence():
+    """Fuzz the fast composite-PASSWORD path against the raw regex."""
+    import random
+    import re as _re
+    raw = _re.compile(r"(?=.*[A-Za-z])(?=.*\d)(?=.*[$#@!%^&*()_+])"
+                      r"[A-Za-z\d$#@!%^&*()_+]{8,}")
+    rng = random.Random(42)
+    alphabet = "ab1$ #@!xy2 _+Z9 ."
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 120)))
+        want = [m.span() for m in raw.finditer(s)]
+        got = list(kernel._password_composite_spans(s))
+        assert got == want, s
