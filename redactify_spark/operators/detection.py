@@ -44,17 +44,22 @@ def _pseudo_key(surface: str, etype: str) -> str:
 def detect_mentions(df: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    options: Optional[dict[str, bool]] = None) -> DataFrame:
+                    options: Optional[dict[str, bool]] = None,
+                    passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Run the full reference detector chain over ``df[text_col]``.
 
-    Returns one row per post-processed mention, keyed by ``id_col``.
-    Executors import the kernel module once per python worker (pattern
-    compilation amortized across all batches -- mirrors the reference's
-    startup-time compile, server/detection_engine.py:124-153).
+    Returns one row per post-processed mention, keyed by ``id_col``;
+    ``passthrough`` columns are copied onto every mention row (used by
+    the streaming stage to carry the event-time column through without a
+    stream-stream join).  Executors import the kernel module once per
+    python worker (pattern compilation amortized across all batches --
+    mirrors the reference's startup-time compile,
+    server/detection_engine.py:124-153).
     """
-    id_field = df.schema[id_col]
+    keep = [id_col, *passthrough]
     out_schema = T.StructType(
-        [T.StructField(id_col, id_field.dataType)] + MENTION_FIELDS)
+        [T.StructField(c, df.schema[c].dataType) for c in keep]
+        + MENTION_FIELDS)
     captured_options = dict(options) if options else None
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,13 +67,15 @@ def detect_mentions(df: DataFrame,
         from redactify_spark.detect import kernel
 
         for pdf in batches:
-            ids, rows = pdf[id_col].tolist(), pdf[text_col].tolist()
+            rows = pdf[text_col].tolist()
+            keeps = {c: pdf[c].tolist() for c in keep}
             rec: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for doc_id, text in zip(ids, rows):
+            for i, text in enumerate(rows):
                 for m in kernel.detect_document(text or "", captured_options):
                     surface = m.get("entity_text", "")
                     etype = m["entity_group"]
-                    rec[id_col].append(doc_id)
+                    for c in keep:
+                        rec[c].append(keeps[c][i])
                     rec["entity_group"].append(etype)
                     rec["start"].append(m["start"])
                     rec["end"].append(m["end"])
@@ -78,7 +85,7 @@ def detect_mentions(df: DataFrame,
                     rec["pseudo_key"].append(_pseudo_key(surface, etype))
             yield pd.DataFrame(rec)
 
-    return df.select(id_col, text_col).mapInPandas(scan, schema=out_schema)
+    return df.select(*keep, text_col).mapInPandas(scan, schema=out_schema)
 
 
 def anonymize_documents(df: DataFrame,

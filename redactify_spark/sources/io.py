@@ -1,0 +1,51 @@
+"""Table IO: Iceberg when a catalog is configured, parquet otherwise.
+
+The production design (SURVEY.md §1.3) targets Iceberg tables
+(`db.pages`, `db.triples`, `db.nodes`, `db.edges`) partitioned by
+bucket(url).  The sandbox has no Iceberg runtime jar, so the same API
+degrades to parquet paths -- the calling code is identical either way,
+and the checkpoint manifests (plans/checkpoint.py) provide the
+snapshot/rollback semantics Iceberg would otherwise supply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        return bool(spark.conf.get(
+            "spark.sql.catalog.spark_catalog.type", None))
+    except Exception:
+        return False
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite",
+                bucket_col: str | None = None,
+                n_buckets: int = 64) -> None:
+    """Write to `target` (an Iceberg table name like 'db.triples' when a
+    catalog is up, else a filesystem path).
+
+    On Iceberg: `writeTo(...).partitionedBy(bucket(n, col))`.
+    On parquet: repartition by a hash of the bucket column so downstream
+    equi-joins on it are co-partitioned reads."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in target:
+        w = df.writeTo(target)
+        if bucket_col:
+            from pyspark.sql.functions import bucket, col
+            w = w.partitionedBy(bucket(n_buckets, col(bucket_col)))
+        (w.createOrReplace() if mode == "overwrite" else w.append())
+        return
+    if bucket_col:
+        from pyspark.sql.functions import col, pmod, xxhash64
+        df = df.repartition(n_buckets,
+                            pmod(xxhash64(col(bucket_col)), n_buckets))
+    df.write.mode(mode).parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if iceberg_available(spark) and "/" not in target:
+        return spark.read.format("iceberg").load(target)
+    return spark.read.parquet(target)
