@@ -504,6 +504,11 @@ def _model_entities(text: str, model_name: str) -> list[dict]:
         raw = [{**e, "detector": None} for e in _run_medical_model(text)]
     elif model_name == "pii_specialized":
         raw = _run_pii_specialized(text)
+    elif model_name in ("technical", "legal", "financial"):
+        from redactify_spark.detect import specialists
+        raw = {"technical": specialists.detect_technical,
+               "legal": specialists.detect_legal,
+               "financial": specialists.detect_financial}[model_name](text)
     else:
         raw = []
     floor = C.MODEL_THRESHOLDS.get(model_name, C.MODEL_THRESHOLD_DEFAULT)
@@ -649,6 +654,14 @@ def detect_document(text: str,
     all_entities.extend(_model_entities(text, "general"))
     if "medical" in domains and C.ENGINE_CONFIG["enable_medical_pii"]:
         all_entities.extend(_model_entities(text, "medical"))
+    # D10-D12: disabled by default like the reference's live config
+    # (server/server.py:83-86); enabled via flags + explicit domains
+    if "technical" in domains and C.ENGINE_CONFIG["enable_technical_ner"]:
+        all_entities.extend(_model_entities(text, "technical"))
+    if "legal" in domains and C.ENGINE_CONFIG["enable_legal_ner"]:
+        all_entities.extend(_model_entities(text, "legal"))
+    if "financial" in domains and C.ENGINE_CONFIG["enable_financial_ner"]:
+        all_entities.extend(_model_entities(text, "financial"))
     if C.ENGINE_CONFIG["enable_pii_specialized"]:
         all_entities.extend(_model_entities(text, "pii_specialized"))
     if C.ENGINE_CONFIG["enable_fallback_name_detector"]:
