@@ -358,6 +358,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return no_orders.groupBy().agg(
             F.count("*").cast("long").alias("n_customers_without_orders"))
 
+    def q23_rollup(spark, sf):
+        """Grouping sets / rollup over the star schema (SURVEY §2.5 --
+        absent in the reference; provided as engine coverage)."""
+        o = _t(spark, sf, "orders")
+        return (o.rollup("o_orderstatus", "o_orderpriority")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                        .alias("status"),
+                        F.coalesce("o_orderpriority", F.lit("ALL"))
+                        .alias("priority"),
+                        "n", "total")
+                .orderBy("status", "priority"))
+
+    def q24_distinct_metrics(spark, sf):
+        """Metrics aggregations: exact distinct counts per dimension
+        (the reference's response metadata counters, server.py:211-216)."""
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy("event_type")
+                .agg(F.countDistinct("user_id").cast("long")
+                     .alias("n_users"),
+                     F.count("*").cast("long").alias("n_events"))
+                .orderBy("event_type"))
+
+    def q25_json_extract(spark, sf):
+        """JSON scalar extraction from the events.props column
+        (SURVEY §2.5 json fns)."""
+        ev = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return (ev.select(k.alias("k"))
+                .where(F.col("k").isNotNull())
+                .groupBy((F.col("k") % 10).alias("k_mod"))
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("k").cast("long").alias("sum_k"))
+                .orderBy("k_mod"))
+
+    def q26_exists_semijoin(spark, sf):
+        """EXISTS / semi-join: customers with at least one urgent order."""
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        urgent = o.where(F.col("o_orderpriority") == "1-URGENT") \
+                  .select(F.col("o_custkey").alias("c_custkey"))
+        return (c.join(urgent, "c_custkey", "left_semi")
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").cast("long").alias("n"))
+                .orderBy("c_mktsegment"))
+
+    def q27_mask_ssn_native(spark, sf):
+        """A8 SSN mask as a native expression (functions/native.py),
+        applied to synthesized SSN-shaped strings."""
+        from redactify_spark.functions import native as N
+        d = _t(spark, sf, "documents")
+        ssn = F.concat(F.lpad(((F.col("doc_id") * 7) % 900 + 100)
+                              .cast("string"), 3, "0"),
+                       F.lit("-"),
+                       F.lpad((F.col("doc_id") % 89 + 10)
+                              .cast("string"), 2, "0"),
+                       F.lit("-"),
+                       F.lpad((F.col("doc_id") % 9000 + 1000)
+                              .cast("string"), 4, "0"))
+        return (d.select("doc_id", N.mask_ssn_expr(ssn).alias("masked"))
+                .orderBy("doc_id").limit(200))
+
     # ---- pipeline battery (kernel-backed; rows-only checks) ---------------
 
     def q30_detect_mentions(spark, sf):
@@ -473,6 +536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_time_window_agg": q20_time_window_agg,
         "q21_multi_join": q21_multi_join,
         "q22_set_ops": q22_set_ops,
+        "q23_rollup": q23_rollup,
+        "q24_distinct_metrics": q24_distinct_metrics,
+        "q25_json_extract": q25_json_extract,
+        "q26_exists_semijoin": q26_exists_semijoin,
+        "q27_mask_ssn_native": q27_mask_ssn_native,
         "q30_detect_mentions": q30_detect_mentions,
         "q31_triples": q31_triples,
         "q32_anonymize": q32_anonymize,
@@ -737,5 +805,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_customers_without_orders
             FROM customer
             WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "q23_rollup": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "q24_distinct_metrics": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q25_json_extract": """
+            SELECT k % 10 AS k_mod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k
+            FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS k FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY k % 10 ORDER BY k_mod
+        """,
+        "q26_exists_semijoin": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q27_mask_ssn_native": """
+            SELECT doc_id,
+                   repeat('*', length(ssn) - 4)
+                       || substr(ssn, length(ssn) - 3, 4) AS masked
+            FROM (SELECT doc_id,
+                         lpad(CAST((doc_id * 7) % 900 + 100 AS VARCHAR), 3, '0')
+                         || '-' ||
+                         lpad(CAST(doc_id % 89 + 10 AS VARCHAR), 2, '0')
+                         || '-' ||
+                         lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+                             AS ssn
+                  FROM documents)
+            ORDER BY doc_id LIMIT 200
         """,
     }
