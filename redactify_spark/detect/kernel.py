@@ -363,6 +363,42 @@ def set_ner_backend(fn) -> None:
     _NER_BACKEND = fn
 
 
+def try_load_hf_backend(model_name: str =
+                        "dbmdz/bert-large-cased-finetuned-conll03-english"
+                        ) -> bool:
+    """Wire a HuggingFace token-classification pipeline as the NER backend
+    when `transformers` is installed (the reference's D6 model,
+    server/models/general_ner.py:41-60 / a2a_ner_general agent).
+
+    Executor pattern: call this inside the mapInPandas iterator prologue --
+    the pipeline loads once per python worker and is reused across batches
+    (mirrors server/model_manager.py's lazy per-process singleton).
+    Returns False (and leaves the deterministic gazetteer active) when
+    transformers is unavailable -- this sandbox has no transformers, so
+    only the gate is exercised here."""
+    try:
+        from transformers import pipeline  # noqa: gated optional dep
+    except ImportError:
+        return False
+    nlp = pipeline("ner", model=model_name, aggregation_strategy="simple",
+                   device=-1)
+
+    def backend(text: str) -> list[dict]:
+        out = []
+        for item in nlp(text):
+            out.append({
+                "entity_group": str(item.get("entity_group", "UNKNOWN")),
+                "start": int(item.get("start", 0)),
+                "end": int(item.get("end", 0)),
+                "score": float(item.get("score", 0.0)),
+                "word": item.get("word", ""),
+            })
+        return out
+
+    set_ner_backend(backend)
+    return True
+
+
 def _run_general_model(text: str) -> list[dict]:
     raw = (_NER_BACKEND or _gazetteer_ner)(text)
     out = []

@@ -190,3 +190,31 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ts % 1000 == 0 for r in rows)
     vids = media.where("kind = 'video'").count()
     assert len({r.media_id for r in rows}) == vids
+
+
+# --- metrics ---------------------------------------------------------------
+
+def test_mention_metrics(spark):
+    from redactify_spark.operators import metrics as MT
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.sources.pages import synth_pages
+    m = detect_mentions(synth_pages(spark, 40, partitions=2),
+                        id_col="url", text_col="text").cache()
+    g = MT.mention_metrics(m).first()
+    exact = m.select("pseudo_key").distinct().count()
+    assert g.n_mentions == m.count()
+    # HLL estimate within 10% of exact
+    assert abs(g.approx_entities - exact) / exact < 0.10
+    bd = MT.detector_breakdown(m).collect()
+    assert sum(r.n for r in bd) == g.n_mentions
+    hist = MT.score_histogram(m).collect()
+    assert sum(r.n for r in hist) == g.n_mentions
+    assert all(0 <= r.bucket <= 9 for r in hist)
+
+
+def test_hf_backend_gate():
+    from redactify_spark.detect import kernel
+    # transformers absent in this container -> gate returns False and the
+    # deterministic gazetteer stays active
+    assert kernel.try_load_hf_backend() is False
+    assert kernel._NER_BACKEND is None
