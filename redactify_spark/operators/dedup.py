@@ -245,8 +245,14 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
                      F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
+    # necessary size-ratio condition: jaccard >= t implies
+    # min(|A|,|B|)/max(|A|,|B|) >= t, so prune pairs on the cheap size
+    # compare BEFORE the expensive array_intersect projection
+    na, nb = F.size("g_a"), F.size("g_b")
+    ratio_ok = (F.least(na, nb).cast("double")
+                >= F.lit(threshold) * F.greatest(na, nb))
     return (a.join(b, "_block")
-            .where(F.col("id_a") < F.col("id_b"))
+            .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
             .select("id_a", "id_b",
                     (inter.cast("double") / union).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
