@@ -44,3 +44,25 @@ def test_windowed_counts_with_watermark(spark, pages_dir):
     # windows align to the minute and counts are positive
     assert all(r.window_start.second == 0 and r.n_mentions > 0
                for r in rows)
+
+
+def test_stateful_entity_registry(spark, pages_dir, tmp_path):
+    """applyInPandasWithState: each pseudo_key emitted exactly once across
+    micro-batches (maxFilesPerTrigger=1 -> multiple batches)."""
+    from redactify_spark.streaming.stateful import entity_registry_stream
+
+    stream = DS.stream_pages(spark, pages_dir)
+    mentions = DS.stream_mentions(stream).drop("warc_ts")
+    reg = entity_registry_stream(mentions)
+    q = (reg.writeStream.format("memory").queryName("registry")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from registry").collect()
+    keys = [r.pseudo_key for r in rows]
+    assert len(keys) == len(set(keys)), "a key was emitted twice"
+    batch = detect_mentions(spark.read.parquet(pages_dir),
+                            id_col="url", text_col="text")
+    expected_keys = {r.pseudo_key for r in
+                     batch.select("pseudo_key").distinct().collect()}
+    assert set(keys) == expected_keys
