@@ -87,8 +87,54 @@ def classify_domains(text: str) -> list[str]:
 # D8: regex context gate (server/detection_engine.py:613-645)
 # ---------------------------------------------------------------------------
 
+# ``indicator + \s* + matched`` searched in `nearby` is equivalent to:
+# at every (case-insensitive) occurrence of `matched` in `nearby`, the
+# prefix ends with indicator+optional-ws.  Precompiling the tail pattern
+# avoids building (and re-compiling) a fresh regex per candidate match.
+_NEARBY_TAIL = re.compile(_NEARBY_INDICATOR + r"\s*$", re.IGNORECASE)
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _word_window(text: str, span_start: int, span_end: int,
+                 tokens: list[tuple[int, int]] | None, ctx: int) -> str:
+    """The reference's word-window (detection_engine.py:628-632):
+    ``text[:start].split()[-ctx:] + text[end:].split()[:ctx]`` -- computed
+    from a per-document token-offset index instead of re-splitting the
+    whole prefix/suffix per candidate.  A token straddling a boundary
+    contributes its truncated piece, exactly as the slice-then-split does.
+    """
+    if tokens is None:
+        before = text[:span_start].split()[-ctx:] if span_start > 0 else []
+        after = text[span_end:].split()[:ctx] if span_end < len(text) else []
+        return " ".join(before + after).lower()
+    before: list[str] = []
+    after: list[str] = []
+    import bisect
+    if span_start > 0:
+        idx = bisect.bisect_left(tokens, (span_start, span_start))
+        if idx > 0 and tokens[idx - 1][1] > span_start:
+            # token straddling span_start -> truncated head piece
+            partial_i = idx - 1
+            before = [text[s:e] for s, e in
+                      tokens[max(0, partial_i - ctx + 1):partial_i]]
+            before.append(text[tokens[partial_i][0]:span_start])
+        else:
+            before = [text[s:e] for s, e in tokens[max(0, idx - ctx):idx]]
+    if span_end < len(text):
+        idx = bisect.bisect_left(tokens, (span_end, -1))
+        if idx > 0 and tokens[idx - 1][1] > span_end:
+            # token straddling span_end -> truncated tail piece first
+            partial = text[span_end:tokens[idx - 1][1]]
+            after = [partial] + [text[s:e]
+                                 for s, e in tokens[idx:idx + ctx - 1]]
+        else:
+            after = [text[s:e] for s, e in tokens[idx:idx + ctx]]
+    return " ".join(before + after).lower()
+
+
 def _has_context(text: str, span_start: int, span_end: int,
-                 context_words: list[str]) -> bool:
+                 context_words: list[str],
+                 tokens: list[tuple[int, int]] | None = None) -> bool:
     if not context_words:
         return True
     matched_text = text[span_start:span_end]
@@ -100,16 +146,18 @@ def _has_context(text: str, span_start: int, span_end: int,
     # NB: window is applied to the WORD list (as implemented in the
     # reference, despite its comment saying characters)
     ctx = C.ENGINE_CONFIG["context_window"]
-    before = text[:span_start].split()[-ctx:] if span_start > 0 else []
-    after = text[span_end:].split()[:ctx] if span_end < len(text) else []
-    context_text = " ".join(before + after).lower()
+    context_text = _word_window(text, span_start, span_end, tokens, ctx)
     for word in context_words:
         if word.lower() in context_text:
             return True
     nearby = text[max(0, span_start - 20):min(len(text), span_end + 10)]
-    if re.search(_NEARBY_INDICATOR + r"\s*" + re.escape(matched_text), nearby,
-                 re.IGNORECASE):
-        return True
+    ml = matched_text.lower()
+    nl = nearby.lower()
+    pos = nl.find(ml)
+    while pos != -1:
+        if _NEARBY_TAIL.search(nearby, 0, pos):
+            return True
+        pos = nl.find(ml, pos + 1)
     return False
 
 
@@ -147,14 +195,19 @@ def _password_composite_spans(text: str):
 def detect_regex(text: str) -> list[dict]:
     out = []
     text_lower = text.lower()
+    tokens: list[tuple[int, int]] | None = None
     for pdef in _COMPILED_BANK:
         if not _passes_prefilter(pdef, text_lower):
             continue
+        if pdef.get("context") and tokens is None and ENABLE_PREFILTERS:
+            tokens = [(m.start(), m.end())
+                      for m in _TOKEN_RE.finditer(text)]
         if ENABLE_PREFILTERS and pdef["pattern"] == _PASSWORD_COMPOSITE_SRC:
             spans_iter = _password_composite_spans(text)
             for start, end in spans_iter:
                 matched = text[start:end]
-                if _has_context(text, start, end, pdef.get("context", [])):
+                if _has_context(text, start, end, pdef.get("context", []),
+                                tokens):
                     out.append({
                         "entity_group": pdef["type"],
                         "start": start, "end": end,
@@ -169,7 +222,8 @@ def detect_regex(text: str) -> list[dict]:
                 continue
             if not matched.strip():
                 continue
-            if _has_context(text, start, end, pdef.get("context", [])):
+            if _has_context(text, start, end, pdef.get("context", []),
+                            tokens):
                 out.append({
                     "entity_group": pdef["type"],
                     "start": start, "end": end,

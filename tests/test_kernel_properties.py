@@ -1,0 +1,86 @@
+"""Property-based invariants of the detection/anonymization kernel
+(hypothesis).  These hold for ARBITRARY input text, not just fixtures."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redactify_spark.detect import anonymize as A
+from redactify_spark.detect import kernel
+
+# text with PII-ish fragments mixed into noise
+_frag = st.sampled_from([
+    "john.doe@example.com", "555-123-4567", "123-45-6789",
+    "https://x.example/a", "password: hunter2!", "Dr. Smith",
+    "google", "work", "10.0.0.1", "ip", "2024-01-02", "ssn",
+    " ", "\n", ". ", "Alice Brown", "Acme Corp", "ending in 1234",
+])
+_noise = st.text(
+    alphabet="abcdefghij KLMNOP0123:-.@$/\n", min_size=0, max_size=40)
+texts = st.lists(st.one_of(_frag, _noise), min_size=0, max_size=12) \
+    .map(" ".join)
+
+
+@given(texts)
+@settings(max_examples=150, deadline=None)
+def test_spans_within_bounds_and_ordered(text):
+    ms = kernel.detect_document(text)
+    prev_start = -1
+    for m in ms:
+        assert 0 <= m["start"] < m["end"] <= len(text)
+        assert m["entity_text"] == text[m["start"]:m["end"]]
+        assert 0.0 <= m["score"] <= 1.0
+        assert m["start"] >= prev_start  # sorted by start
+        prev_start = m["start"]
+
+
+@given(texts)
+@settings(max_examples=150, deadline=None)
+def test_no_overlaps_after_p7(text):
+    ms = kernel.detect_document(text)
+    for a, b in zip(ms, ms[1:]):
+        assert a["end"] <= b["start"] or a["start"] >= b["end"], (a, b)
+
+
+@given(texts)
+@settings(max_examples=100, deadline=None)
+def test_detection_idempotent_deterministic(text):
+    assert kernel.detect_document(text) == kernel.detect_document(text)
+
+
+@given(texts)
+@settings(max_examples=100, deadline=None)
+def test_p6_unique_surface_type(text):
+    ms = kernel.detect_document(text)
+    keys = [(m["entity_text"].lower(), m["entity_group"]) for m in ms]
+    assert len(keys) == len(set(keys))
+
+
+@given(texts, st.sampled_from(["pseudonymize", "mask", "redact", "custom"]))
+@settings(max_examples=100, deadline=None)
+def test_anonymize_removes_every_span(text, strategy):
+    ms = kernel.detect_document(text)
+    out = A.anonymize_text(text, ms, strategy,
+                           preserve_format=(strategy == "mask"))
+    # splice safety: text outside all spans is preserved verbatim
+    # (check prefix before the first span and suffix after the last)
+    if ms:
+        first, last = ms[0], ms[-1]
+        assert out.startswith(text[:first["start"]])
+        assert out.endswith(text[last["end"]:])
+    else:
+        assert out == text
+
+
+@given(st.text(alphabet="ab1@.-x ", min_size=0, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_partial_mask_preserves_length(token):
+    assert len(A.partial_mask_token(token)) == len(token)
+    assert len(A.mask_ssn(token)) == len(token)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100, deadline=None)
+def test_pages_invariant_any_id(doc_id):
+    from redactify_spark.sources import pages as P
+    t = P.synth_text(doc_id)
+    assert P.extract_text(P.render_html(t, P.page_url(doc_id))) == t

@@ -294,3 +294,34 @@ def test_password_fast_path_equivalence():
         want = [m.span() for m in raw.finditer(s)]
         got = list(kernel._password_composite_spans(s))
         assert got == want, s
+
+
+def test_nearby_indicator_rewrite_equivalence():
+    """The precompiled-tail nearby-indicator check must equal the
+    reference's dynamically-built regex (detection_engine.py:639-643)."""
+    import random
+    import re as _re
+
+    from redactify_spark.detect.kernel import _NEARBY_INDICATOR, _NEARBY_TAIL
+
+    def original(nearby, matched):
+        return bool(_re.search(_NEARBY_INDICATOR + r"\s*" +
+                               _re.escape(matched), nearby, _re.IGNORECASE))
+
+    def rewritten(nearby, matched):
+        ml, nl = matched.lower(), nearby.lower()
+        pos = nl.find(ml)
+        while pos != -1:
+            if _NEARBY_TAIL.search(nearby, 0, pos):
+                return True
+            pos = nl.find(ml, pos + 1)
+        return False
+
+    rng = random.Random(11)
+    alphabet = ": = is  was reset to ABtok \n xyz"
+    for _ in range(800):
+        nearby = "".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 60)))
+        matched = rng.choice(["tok", "AB", "x", "is", ":"])
+        assert original(nearby, matched) == rewritten(nearby, matched), \
+            (nearby, matched)
