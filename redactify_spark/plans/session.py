@@ -48,6 +48,9 @@ def build_session(app_name: str = "redactify-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR",
+                               "/tmp/redactify_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
