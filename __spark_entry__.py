@@ -450,6 +450,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_entities", "anonymized_text")
                 .orderBy("doc_id").limit(100))
 
+    def q32b_anonymize_mask(spark, sf):
+        from redactify_spark.operators.detection import anonymize_documents
+        pages = _pages_from_documents(spark, sf)
+        return (anonymize_documents(pages, id_col="doc_id", text_col="text",
+                                    strategy="mask", preserve_format=True)
+                .select("doc_id", "n_entities", "anonymized_text")
+                .orderBy("doc_id").limit(100))
+
+    def q32c_anonymize_redact(spark, sf):
+        from redactify_spark.operators.detection import anonymize_documents
+        pages = _pages_from_documents(spark, sf)
+        return (anonymize_documents(pages, id_col="doc_id", text_col="text",
+                                    strategy="redact")
+                .select("doc_id", "n_entities", "anonymized_text")
+                .orderBy("doc_id").limit(100))
+
     def q33_link_edges(spark, sf):
         from redactify_spark.operators.detection import detect_mentions
         from redactify_spark.operators.linking import match_edges
@@ -544,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_detect_mentions": q30_detect_mentions,
         "q31_triples": q31_triples,
         "q32_anonymize": q32_anonymize,
+        "q32b_anonymize_mask": q32b_anonymize_mask,
+        "q32c_anonymize_redact": q32c_anonymize_redact,
         "q33_link_edges": q33_link_edges,
         "q34_components": q34_components,
         "q35_graph_nodes": q35_graph_nodes,

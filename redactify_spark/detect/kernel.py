@@ -469,23 +469,68 @@ _MEDICAL_TERM_RE = re.compile(
     r"\b(?:Dr\.\s+[A-Z][a-z]+|[A-Z][a-z]+ (?:Hospital|Clinic|Medical Center))\b"
 )
 
+# i2b2-style label remap (server/models/medical_ner.py:189-237): applied
+# to whatever the medical backend emits, so a real deid RoBERTa plugs in
+# with correct downstream types.
+MEDICAL_LABEL_MAP: dict[str, str] = {
+    "PATIENT": "PERSON", "NAME": "PERSON", "PERSON": "PERSON",
+    "ID": "MEDICAL_RECORD_NUMBER", "MEDICALRECORD": "MEDICAL_RECORD_NUMBER",
+    "MRN": "MEDICAL_RECORD_NUMBER", "PATIENTID": "MEDICAL_RECORD_NUMBER",
+    "DOCTOR": "PERSON", "PHYSICIAN": "PERSON", "NURSE": "PERSON",
+    "PROVIDER": "PERSON",
+    "HOSPITAL": "ORGANIZATION", "CLINIC": "ORGANIZATION",
+    "ORGANIZATION": "ORGANIZATION", "ORG": "ORGANIZATION",
+    "LOCATION": "LOCATION", "LOC": "LOCATION", "CITY": "LOCATION",
+    "STATE": "LOCATION",
+    "DATE": "DATE_TIME", "TIME": "DATE_TIME", "AGE": "AGE",
+    "PHONE": "PHONE_NUMBER", "EMAIL": "EMAIL_ADDRESS",
+    "CONDITION": "MEDICAL_CONDITION", "DIAGNOSIS": "MEDICAL_CONDITION",
+    "MEDICATION": "MEDICATION", "TREATMENT": "TREATMENT",
+    "MISC": "MISCELLANEOUS", "MISCELLANEOUS": "MISCELLANEOUS",
+}
 
-def _run_medical_model(text: str) -> list[dict]:
-    """Deterministic stand-in for the i2b2 RoBERTa stage (D7): doctors ->
-    PERSON, hospitals -> ORGANIZATION (label remap per
-    server/models/medical_ner.py:188-237); x1.1 score boost when +/-50-char
-    context has medical keywords (:156-158)."""
+_MEDICAL_BACKEND = None  # optional plug-in (i2b2 token classifier)
+
+
+def set_medical_backend(fn) -> None:
+    global _MEDICAL_BACKEND
+    _MEDICAL_BACKEND = fn
+
+
+def map_medical_label(original: str) -> str:
+    return MEDICAL_LABEL_MAP.get(original.upper().strip(),
+                                 original or "MISCELLANEOUS")
+
+
+def _medical_gazetteer(text: str) -> list[dict]:
+    """Deterministic stand-in for the i2b2 RoBERTa stage (D7)."""
     out = []
     for m in _MEDICAL_TERM_RE.finditer(text):
         s, e = m.span()
         surface = text[s:e]
-        etype = "PERSON" if surface.startswith("Dr.") else "ORGANIZATION"
-        score = 0.9
-        ctx = text[max(0, s - 50):min(len(text), e + 50)].lower()
+        label = "DOCTOR" if surface.startswith("Dr.") else "HOSPITAL"
+        out.append({"entity_group": label, "start": s, "end": e,
+                    "score": 0.9, "word": surface})
+    return out
+
+
+def _run_medical_model(text: str) -> list[dict]:
+    """D7: backend labels remapped via MEDICAL_LABEL_MAP
+    (medical_ner.py:189-237); x1.1 score boost when the +/-50-char
+    context has medical keywords (:156-158,:260-288)."""
+    raw = (_MEDICAL_BACKEND or _medical_gazetteer)(text)
+    out = []
+    for e in raw:
+        s, en = int(e.get("start", 0)), int(e.get("end", 0))
+        if not (0 <= s < en <= len(text)):
+            continue
+        score = float(e.get("score", 0.0))
+        ctx = text[max(0, s - 50):min(len(text), en + 50)].lower()
         if any(w in ctx for w in C.MEDICAL_DOMAIN_KEYWORDS):
             score = min(1.0, score * 1.1)
-        out.append({"entity_group": etype, "start": s, "end": e,
-                    "score": score, "word": surface})
+        out.append({**e, "start": s, "end": en, "score": score,
+                    "entity_group": map_medical_label(
+                        e.get("entity_group", ""))})
     return out
 
 

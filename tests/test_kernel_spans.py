@@ -6,6 +6,8 @@ the Spark UDF body, so green here means the distributed pipeline
 reproduces the same spans.
 """
 
+import pytest
+
 from redactify_spark.detect import kernel
 
 
@@ -325,3 +327,33 @@ def test_nearby_indicator_rewrite_equivalence():
         matched = rng.choice(["tok", "AB", "x", "is", ":"])
         assert original(nearby, matched) == rewritten(nearby, matched), \
             (nearby, matched)
+
+
+# --- D7 medical stage: label remap + boost ---------------------------------
+
+def test_medical_label_remap():
+    assert kernel.map_medical_label("PATIENT") == "PERSON"
+    assert kernel.map_medical_label("HOSPITAL") == "ORGANIZATION"
+    assert kernel.map_medical_label("ID") == "MEDICAL_RECORD_NUMBER"
+    assert kernel.map_medical_label("DIAGNOSIS") == "MEDICAL_CONDITION"
+    assert kernel.map_medical_label("weird") == "weird"
+
+
+def test_medical_stage_with_plugged_backend():
+    """A real i2b2 backend plugs in; its labels are remapped and the
+    medical-context boost applies."""
+    def fake_backend(text):
+        i = text.find("Rivera")
+        return [{"entity_group": "DOCTOR", "start": i, "end": i + 6,
+                 "score": 0.8, "word": "Rivera"}]
+
+    kernel.set_medical_backend(fake_backend)
+    try:
+        t = "the patient saw Rivera at the hospital yesterday morning"
+        ms = kernel.detect_document(t)
+        med = [m for m in ms if m["detector"] == "mcp_medical"]
+        assert med and med[0]["entity_group"] == "PERSON"
+        assert med[0]["score"] == pytest.approx(0.88)  # 0.8 * 1.1 boost
+    finally:
+        kernel.set_medical_backend(None)
+
