@@ -130,11 +130,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         prev = F.lag("ts").over(w)
+        # exact integer microseconds on BOTH engines: unix_timestamp()
+        # truncates to seconds while DuckDB epoch() keeps fractions --
+        # pairs near the 60s boundary would diverge (seen at sf0.1)
         return (ev.withColumn(
                     "overlaps_prev",
                     F.when(prev.isNull(), F.lit(False))
-                    .otherwise((F.unix_timestamp("ts")
-                                - F.unix_timestamp(prev)) < 60))
+                    .otherwise((F.unix_micros(F.col("ts").cast("timestamp"))
+                                - F.unix_micros(prev.cast("timestamp")))
+                               < 60_000_000))
                 .groupBy("user_id")
                 .agg(F.count("*").cast("long").alias("n_events"),
                      F.sum(F.col("overlaps_prev").cast("long"))
@@ -612,9 +616,9 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                                  ORDER BY ts, event_id)
                                    IS NULL THEN FALSE
-                              ELSE epoch(ts) - epoch(lag(ts) OVER (
+                              ELSE epoch_us(ts) - epoch_us(lag(ts) OVER (
                                    PARTITION BY user_id
-                                   ORDER BY ts, event_id)) < 60
+                                   ORDER BY ts, event_id)) < 60000000
                          END AS overlaps_prev
                   FROM events)
             GROUP BY user_id ORDER BY user_id
