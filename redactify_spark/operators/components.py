@@ -45,14 +45,26 @@ def connected_components(edges: DataFrame,
               .withColumn("component", F.col("node")))
 
     for _ in range(max_iter):
-        # neighbor labels: for each node, min label among neighbors
+        # 1) neighbor-min: each node adopts the min label in its closed
+        #    neighborhood
         nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
                .groupBy(F.col("u").alias("node"))
                .agg(F.min("component").alias("nbr_component")))
-        new_labels = (labels.join(nbr, "node", "left")
+        stepped = (labels.join(nbr, "node", "left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nbr_component"),
+                                              F.col("component")))
+                           .alias("component")))
+        # 2) pointer doubling: component := label(component) -- halves the
+        #    pointer-chain depth each round, so chains converge in
+        #    O(log n) rounds instead of O(n)
+        parent = stepped.select(F.col("node").alias("component"),
+                                F.col("component").alias("grand"))
+        new_labels = (stepped.join(parent, "component", "left")
                       .select("node",
                               F.least(F.col("component"),
-                                      F.coalesce(F.col("nbr_component"),
+                                      F.coalesce(F.col("grand"),
                                                  F.col("component")))
                               .alias("component")))
         new_labels = new_labels.localCheckpoint()
@@ -63,6 +75,10 @@ def connected_components(edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph deeper than 2^max_iter?)")
     return labels
 
 

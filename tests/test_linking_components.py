@@ -131,3 +131,21 @@ def test_materialize_graph(spark):
     assert head and head[0].n_docs == 64 // 8
     e = edges.collect()
     assert e and all(r.weight >= 1 for r in e)
+
+
+def test_cc_long_chain_converges_fast(spark):
+    """Pointer doubling: a 100-node chain converges within the default
+    round budget (O(log n), not O(n))."""
+    pairs = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(100)]
+    got = cc(spark, pairs)
+    assert len(got) == 1 and len(got[0]) == 101
+
+
+def test_cc_nonconvergence_raises(spark):
+    from redactify_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)],
+        "key_a string, key_b string")
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
