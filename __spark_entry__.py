@@ -523,6 +523,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (S.lsh_topk(e, list(q), k=10)
                 .select("vec_id", F.round("cos", 6).alias("cos")))
 
+    def q41_embedding_dedup(spark, sf):
+        """Embedding-cosine near-dup pairs (sign-LSH blocking + exact
+        cosine verify) over the embeddings table."""
+        e = _t(spark, sf, "embeddings")
+        return (D.embedding_dup_pairs(e, threshold=0.8)
+                .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+                .orderBy("id_a", "id_b"))
+
+    def q42_ann_ivf(spark, sf):
+        """IVF ANN: probed-cell scan, exact cosine inside."""
+        e = _t(spark, sf, "embeddings")
+        q = e.where("vec_id = 0").first().embedding
+        return (S.ivf_topk(e, list(q), k=10)
+                .select("vec_id", F.round("cos", 6).alias("cos")))
+
     def q40_media_features(spark, sf):
         from redactify_spark.operators.multimodal import (extract_features,
                                                           synth_media)
@@ -574,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_ann_topk": q38_ann_topk,
         "q39_ann_lsh": q39_ann_lsh,
         "q40_media_features": q40_media_features,
+        "q41_embedding_dedup": q41_embedding_dedup,
+        "q42_ann_ivf": q42_ann_ivf,
     }
 
 

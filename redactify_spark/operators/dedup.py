@@ -256,3 +256,56 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b",
                     (inter.cast("double") / union).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+# --- embedding-cosine near-duplicate dedup -----------------------------------
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: sign-LSH signature
+    blocking (equi-join, never a cross join) -> exact cosine verify.
+    A pair above `threshold` cosine almost surely agrees on every
+    hyperplane sign, so same-signature blocking keeps recall high at
+    high thresholds."""
+    from redactify_spark.operators.similarity import (_hyperplanes,
+                                                      _norm_expr,
+                                                      adaptive_planes,
+                                                      signature_expr)
+    n_planes = adaptive_planes(embeddings.count())
+    planes = _hyperplanes(
+        len(embeddings.select(vec_col).first()[0]), n_planes)
+    sigged = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        signature_expr(F.col(vec_col), planes).alias("_sig"))
+    a = sigged.select(F.col("_sig"), F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"))
+    b = sigged.select(F.col("_sig"), F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm_expr(F.col("v_a")) * _norm_expr(F.col("v_b")))
+    return (a.join(b, "_sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
+def dedup_embeddings(embeddings: DataFrame, threshold: float = 0.95,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Keep one representative (min id) per embedding-cosine near-dup
+    cluster."""
+    from redactify_spark.operators.components import connected_components
+    pairs = embedding_dup_pairs(embeddings, threshold, vec_col, id_col)
+    comp = connected_components(
+        pairs.select(F.col("id_a").cast("string").alias("key_a"),
+                     F.col("id_b").cast("string").alias("key_b")))
+    rep = comp.groupBy("component").agg(
+        F.min(F.col("node").cast("long")).alias("keep"))
+    drop = (comp.join(rep, "component")
+            .where(F.col("node").cast("long") != F.col("keep"))
+            .select(F.col("node").cast("long").alias(id_col)))
+    return embeddings.join(drop, id_col, "left_anti")

@@ -218,3 +218,44 @@ def test_hf_backend_gate():
     # deterministic gazetteer stays active
     assert kernel.try_load_hf_backend() is False
     assert kernel._NER_BACKEND is None
+
+
+# --- IVF ANN -----------------------------------------------------------------
+
+def test_ivf_topk(spark, embeddings):
+    q = embeddings.where("vec_id = 3").first().embedding
+    rows = S.ivf_topk(embeddings, list(q), k=10).collect()
+    assert rows and rows[0].vec_id == 3 and abs(rows[0].cos - 1.0) < 1e-9
+    exact = [r.vec_id for r in
+             S.brute_force_topk(embeddings, list(q), k=10).collect()]
+    recall = len({r.vec_id for r in rows} & set(exact)) / 10
+    assert recall >= 0.4, (recall,)
+
+
+def test_ivf_deterministic(spark, embeddings):
+    c1 = S.ivf_centroids(embeddings, n_cells=8)
+    c2 = S.ivf_centroids(embeddings, n_cells=8)
+    assert (c1 == c2).all()
+
+
+# --- embedding-cosine near-dup dedup -------------------------------------------
+
+def test_embedding_dedup(spark, embeddings):
+    from pyspark.sql import functions as F
+    # plant two exact near-dups of vec 0 with new ids
+    dup = (embeddings.where("vec_id = 0")
+           .select((F.col("vec_id") + 100000).alias("vec_id"),
+                   "embedding", "label"))
+    dup2 = (embeddings.where("vec_id = 0")
+            .select((F.col("vec_id") + 200000).alias("vec_id"),
+                    F.transform("embedding",
+                                lambda x: x * F.lit(1.0001)).alias("embedding"),
+                    "label"))
+    corpus = embeddings.unionByName(dup).unionByName(dup2)
+    pairs = {(r.id_a, r.id_b) for r in
+             D.embedding_dup_pairs(corpus, threshold=0.999).collect()}
+    assert (0, 100000) in pairs and (0, 200000) in pairs
+    kept = D.dedup_embeddings(corpus, threshold=0.999)
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert 0 in ids and 100000 not in ids and 200000 not in ids
+    assert kept.count() == embeddings.count()  # only the plants removed
