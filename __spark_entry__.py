@@ -527,7 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Embedding-cosine near-dup pairs (sign-LSH blocking + exact
         cosine verify) over the embeddings table."""
         e = _t(spark, sf, "embeddings")
-        return (D.embedding_dup_pairs(e, threshold=0.8)
+        return (D.embedding_dup_pairs(e, threshold=0.45)
                 .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
                 .orderBy("id_a", "id_b"))
 
