@@ -11,7 +11,10 @@ enabled per call via explicit `domains`.
 
 Citations:
 - technical bank + confidences: server/models/technical_ner.py:49-59,
-  :223-251 (length adjustments), :208-221 (type map)
+  :223-251 (length adjustments), :208-221 (type map).  The x1.15
+  technical-context boost (:144-146) applies only to the MODEL half of
+  D10 (the pluggable NER stage), not the pattern bank -- reproduced
+  accordingly: pattern confidences here carry no context boost.
 - legal bank: server/models/legal_ner.py:46-54, :226-250
 - financial bank: server/models/financial_ner.py:46-62, :249-278,
   Luhn validation :280-301, ticker boost :273-275
