@@ -47,9 +47,16 @@ def build_edges(mentions: DataFrame, canon: DataFrame,
                      .withColumnRenamed("canon_id", "src")
     canon_dst = canon.withColumnRenamed("pseudo_key", "obj") \
                      .withColumnRenamed("canon_id", "dst")
+    # head-entity skew: countDistinct(prov_doc) grouped by (src,pred,dst)
+    # would funnel a head entity's 10^11 provenance rows into one reducer.
+    # Instead: distinct over the WIDER uniform key (the doc ref spreads
+    # the shuffle evenly), then a count whose partial aggregation is
+    # map-side combinable -- the hot key's final reducer only merges
+    # per-partition counts.
     return (ct.join(canon_src, "subj").join(canon_dst, "obj")
+            .select("src", "pred", "dst", "prov_doc").distinct()
             .groupBy("src", "pred", "dst")
-            .agg(F.countDistinct("prov_doc").alias("weight")))
+            .agg(F.count("*").alias("weight")))
 
 
 def materialize_graph(mentions: DataFrame, id_col: str = "doc_id",
