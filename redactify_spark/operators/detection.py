@@ -37,7 +37,15 @@ MENTION_FIELDS = [
 
 
 def _pseudo_key(surface: str, etype: str) -> str:
-    h = hashlib.md5(surface.encode("utf-8")).hexdigest()[:6]
+    """Stable KG mention key: [TYPE-md5(surface)].
+
+    Uses the FULL md5, not A1's 6-hex prefix: the anonymization pseudonym
+    (anonymize.pseudonymize_value, reference parity) keeps 6 hex chars,
+    but 6 hex = 16.7M keys per type -- at 10^9+ distinct surfaces,
+    prefix collisions would silently merge unrelated entities in the
+    graph.  The A1 pseudonym remains derivable from this key (its first
+    6 hash chars)."""
+    h = hashlib.md5(surface.encode("utf-8")).hexdigest()
     return f"[{etype.upper()}-{h}]"
 
 
@@ -92,16 +100,19 @@ def anonymize_documents(df: DataFrame,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         strategy: str = "pseudonymize",
-                        preserve_format: bool = True) -> DataFrame:
+                        preserve_format: bool = True,
+                        options: Optional[dict[str, bool]] = None
+                        ) -> DataFrame:
     """Detection + splice rewrite in a single pass: returns
     (id, anonymized_text, n_entities).  Mirrors POST /anonymize
-    (server/server.py:133-222) for mask-parity tests."""
+    (server/server.py:133-222) incl. the per-type options projection."""
     id_field = df.schema[id_col]
     out_schema = T.StructType([
         T.StructField(id_col, id_field.dataType),
         T.StructField("anonymized_text", T.StringType()),
         T.StructField("n_entities", T.IntegerType()),
     ])
+    captured_options = dict(options) if options else None
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from redactify_spark.detect import anonymize as anon
@@ -110,7 +121,7 @@ def anonymize_documents(df: DataFrame,
         for pdf in batches:
             ids, out_text, n_ents = [], [], []
             for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                ms = kernel.detect_document(text or "")
+                ms = kernel.detect_document(text or "", captured_options)
                 ids.append(doc_id)
                 out_text.append(anon.anonymize_text(text or "", ms, strategy,
                                                     preserve_format))

@@ -84,3 +84,25 @@ def test_pages_invariant_any_id(doc_id):
     from redactify_spark.sources import pages as P
     t = P.synth_text(doc_id)
     assert P.extract_text(P.render_html(t, P.page_url(doc_id))) == t
+
+
+@given(st.text(alphabet="ab c\nd  ef.g-h", min_size=0, max_size=80),
+       st.integers(0, 80), st.integers(0, 80))
+@settings(max_examples=300, deadline=None)
+def test_word_window_matches_slice_split(text, a, b):
+    """Token-index word window == reference slice-then-split for ARBITRARY
+    spans (including mid-token and whitespace boundaries)."""
+    from redactify_spark.detect.kernel import _TOKEN_RE, _word_window
+    span_start = min(a, len(text))
+    span_end = min(max(b, span_start), len(text))
+    tokens = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    for ctx in (1, 3, 40):
+        import redactify_spark.config as C
+        old = C.ENGINE_CONFIG["context_window"]
+        C.ENGINE_CONFIG["context_window"] = ctx
+        try:
+            fast = _word_window(text, span_start, span_end, tokens, ctx)
+            slow = _word_window(text, span_start, span_end, None, ctx)
+        finally:
+            C.ENGINE_CONFIG["context_window"] = old
+        assert fast == slow, (text, span_start, span_end, ctx, fast, slow)
