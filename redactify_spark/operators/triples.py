@@ -52,11 +52,16 @@ def contact_triples(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 .select(F.col(id_col).alias("_doc"),
                         F.col("pseudo_key").alias("obj"),
                         F.col("surface").alias("obj_surface")))
+    # dedup PER DOCUMENT (multiple same-pair co-mentions inside one doc
+    # collapse), but KEEP one row per supporting document -- provenance
+    # carries the edge weight downstream (build_edges counts distinct
+    # docs; a global (subj,pred,obj) dedup here would flatten every
+    # weight to 1)
     return (ents.join(contacts, "_doc")
             .select("subj", F.lit("has_contact").alias("pred"), "obj",
                     F.col("_doc").cast("string").alias("prov_doc"),
                     "subj_surface", "obj_surface")
-            .dropDuplicates(["subj", "pred", "obj"]))
+            .dropDuplicates(["subj", "pred", "obj", "prov_doc"]))
 
 
 def all_triples(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:

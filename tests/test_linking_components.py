@@ -149,3 +149,19 @@ def test_cc_nonconvergence_raises(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_edge_weight_counts_supporting_docs(spark):
+    """Regression: a contact edge supported by many documents must carry
+    that count as weight (a global triple dedup had flattened all
+    weights to 1)."""
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.operators.graph import materialize_graph
+    from redactify_spark.sources.pages import synth_pages, HEAD_ENTITY_FRACTION
+    pages = synth_pages(spark, 64, partitions=4)
+    m = detect_mentions(pages, id_col="url", text_col="text").persist()
+    nodes, edges, canon = materialize_graph(m, id_col="url")
+    top = edges.orderBy(edges.weight.desc()).first()
+    # the head pair (google org <-> press@google.com) co-occurs on every
+    # HEAD_ENTITY_FRACTION-th page
+    assert top.weight == 64 // HEAD_ENTITY_FRACTION, top
