@@ -71,9 +71,13 @@ def entry(spark: SparkSession) -> DataFrame:
             .select(F.col("doc_id"), F.col("surface").alias("org")))
     emails = (mentions.where(F.col("entity_group") == "EMAIL_ADDRESS")
               .select("doc_id"))
+    # head-org skew: countDistinct grouped by org would funnel a hot
+    # org's doc ids into one reducer; distinct over the uniform
+    # (org, doc_id) key first, then a map-side-combinable count
     return (orgs.join(emails, "doc_id")
+            .dropDuplicates(["org", "doc_id"])
             .groupBy("org")
-            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+            .agg(F.count("*").cast("long").alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), F.col("org"))
             .limit(20))
 
@@ -483,7 +487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q34_components(spark, sf):
         from redactify_spark.operators.detection import detect_mentions
         from redactify_spark.operators.graph import materialize_graph
-        pages = _pages_from_documents(spark, sf).limit(500)
+        # deterministic subset: a global limit() picks arbitrary rows
+        # under different parallelism; a key predicate does not
+        pages = _pages_from_documents(spark, sf).where(F.col("doc_id") < 500)
         m = detect_mentions(pages, id_col="doc_id", text_col="text")
         nodes, edges, canon = materialize_graph(m, id_col="doc_id")
         return (canon.groupBy("canon_id")
@@ -494,7 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q35_graph_nodes(spark, sf):
         from redactify_spark.operators.detection import detect_mentions
         from redactify_spark.operators.graph import materialize_graph
-        pages = _pages_from_documents(spark, sf).limit(500)
+        pages = _pages_from_documents(spark, sf).where(F.col("doc_id") < 500)
         m = detect_mentions(pages, id_col="doc_id", text_col="text")
         nodes, edges, canon = materialize_graph(m, id_col="doc_id")
         return (nodes.select("canon_id", "type", "n_mentions", "n_docs")

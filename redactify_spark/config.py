@@ -295,8 +295,12 @@ REGEX_PREFILTERS: dict[str, list[str]] = {
  ]
 }
 
-# --- Blocklist (context-gate rejection).  server/blocklist.json:2-12 ------
-BLOCKLIST: frozenset[str] = frozenset({
+# --- Blocklist (context-gate rejection).  server/blocklist.json:2-12.
+#     The engine unions common_name_words into it at load
+#     (detection_engine.py:92 `self.blocklist.update(self.common_name_words)`)
+#     -- BLOCKLIST below is that union; the raw file contents are
+#     _BLOCKLIST_FILE.
+_BLOCKLIST_FILE: frozenset[str] = frozenset({
     "Submitted", "Customer", "Issue Description", "Order Number", "Account",
     "Confirmation", "Attempts", "Reference", "Description", "Screenshots",
     "Communication", "Number", "Information", "Details", "Subject", "Team",
@@ -324,6 +328,9 @@ COMMON_NAME_WORDS: frozenset[str] = frozenset({
 # reference.  We reproduce the as-implemented behavior (lowercase compare
 # against capitalized entries) rather than the apparent intent.
 COMMON_NAME_WORDS_LOWER_COMPARE: frozenset[str] = COMMON_NAME_WORDS
+
+# The D8 context gate checks against the UNION (detection_engine.py:92).
+BLOCKLIST: frozenset[str] = _BLOCKLIST_FILE | COMMON_NAME_WORDS
 
 # --- Pseudonymize-on-full-mask types.  server/pseudonymize_types.json:2-4 -
 PSEUDONYMIZE_TYPES: frozenset[str] = frozenset({

@@ -181,15 +181,22 @@ _LAST_SPECIAL = re.compile(r"[$#@!%^&*()_+](?=[^$#@!%^&*()_+]*$)")
 
 
 def _password_composite_spans(text: str):
-    la = _LAST_ALPHA.search(text)
-    ld = _LAST_DIGIT.search(text)
-    ls = _LAST_SPECIAL.search(text)
-    if not (la and ld and ls):
-        return
-    cutoff = min(la.start(), ld.start(), ls.start())
-    for m in _PASSWORD_RUN.finditer(text):
-        if m.start() <= cutoff:
-            yield m.span()
+    # The reference pattern is compiled without DOTALL, so its '.*'
+    # lookaheads stop at '\n': the required letter/digit/special must
+    # occur at-or-after the run start ON THE SAME LINE.  Compute the
+    # cutoff per '\n'-separated segment (the run charclass excludes
+    # '\n', so no candidate run straddles segments) and offset spans.
+    pos = 0
+    for line in text.split("\n"):
+        la = _LAST_ALPHA.search(line)
+        ld = _LAST_DIGIT.search(line)
+        ls = _LAST_SPECIAL.search(line)
+        if la and ld and ls:
+            cutoff = min(la.start(), ld.start(), ls.start())
+            for m in _PASSWORD_RUN.finditer(line):
+                if m.start() <= cutoff:
+                    yield (pos + m.start(), pos + m.end())
+        pos += len(line) + 1
 
 
 def detect_regex(text: str) -> list[dict]:

@@ -6,8 +6,12 @@ NER stage as D6).  Their MCP servers are commented out in the live
 reference (server/server.py:83-86), and the live domain classifier
 never emits their domains (server/detection_engine.py:302-310), so by
 default these never run -- exactly as here (ENGINE_CONFIG flags False,
-domains gated).  They are implemented for coverage parity and can be
-enabled per call via explicit `domains`.
+domains gated).  To enable one inside detect_document BOTH gates must
+open: flip ENGINE_CONFIG['enable_<bank>_ner'] AND pass the domain in
+`domains` (mirrors the reference's flag-AND-domain check,
+detection_engine.py:336-358).  The detect_technical/detect_legal/
+detect_financial functions below run unconditionally when called
+directly.
 
 Citations:
 - technical bank + confidences: server/models/technical_ner.py:49-59,

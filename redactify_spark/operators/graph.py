@@ -4,37 +4,66 @@ nodes(canon_id, type, surface_forms, n_mentions, n_docs)
 edges(src, pred, dst, weight)   weight = #distinct supporting docs
 
 Head-entity skew (the same org/email mentioned on a large fraction of
-pages) is defused with a salted two-phase aggregation: partial counts
-per (key, salt) fold the hot key's rows in parallel before the final
-(narrow) merge -- the classic partial/final combine expressed in the
-DataFrame API, with AQE skew-join as the backstop on the join side.
+pages) is defused by making EVERY aggregation either (a) map-side
+combinable on a uniform wide key -- distinct over (entity, doc) spreads
+a hot entity's rows across reducers keyed by doc, then the final count
+per entity only merges per-partition partial counts -- or (b) bounded:
+surface_forms is the top-K surfaces by support, never an unbounded
+collect_set.  No node row can exceed O(K) regardless of how many
+documents mention the entity.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-N_SALT = 16
+TOP_K_SURFACES = 16
 
 
 def build_nodes(mentions: DataFrame, canon: DataFrame,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                top_k_surfaces: int = TOP_K_SURFACES) -> DataFrame:
+    """nodes(canon_id, type, surface_forms, n_mentions, n_docs).
+
+    Scale shape (the build_edges two-phase pattern, applied to n_docs):
+    - n_docs: distinct over the WIDE uniform key (canon_id, type, doc)
+      -- partial aggregation dedups map-side and the hot entity's rows
+      shuffle by doc, not by entity -- then a count(*) whose partial sums
+      are map-side combinable.  No reducer ever materializes a head
+      entity's full document list.
+    - n_mentions / surface support: groupBy (canon_id, type, surface)
+      count -- map-side combinable even when one (entity, surface) pair
+      dominates.
+    - surface_forms: top-K surfaces by (support desc, surface asc) via a
+      window over the per-surface counts (cardinality = distinct
+      surfaces, already collapsed), so the collected array is bounded at
+      K elements and deterministic."""
     m = mentions.join(canon, "pseudo_key")
-    # two-phase agg: salt on the doc ref so one hot canon_id spreads over
-    # N_SALT reducers in the partial phase
-    partial = (m.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)),
-                                            F.lit(N_SALT)))
-               .groupBy("canon_id", "entity_group", "_salt")
-               .agg(F.collect_set("surface").alias("sf"),
-                    F.count("*").alias("n"),
-                    F.collect_set(F.col(id_col).cast("string")).alias("docs")))
-    return (partial.groupBy("canon_id", F.col("entity_group").alias("type"))
-            .agg(F.array_distinct(F.flatten(F.collect_list("sf")))
-                 .alias("surface_forms"),
-                 F.sum("n").alias("n_mentions"),
-                 F.size(F.array_distinct(F.flatten(F.collect_list("docs"))))
-                 .alias("n_docs")))
+
+    n_docs = (m.select("canon_id", "entity_group",
+                       F.col(id_col).cast("string").alias("_doc"))
+              .distinct()
+              .groupBy("canon_id", "entity_group")
+              .agg(F.count("*").alias("n_docs")))
+
+    surf = (m.groupBy("canon_id", "entity_group", "surface")
+            .agg(F.count("*").alias("n_surface")))
+    w = (Window.partitionBy("canon_id", "entity_group")
+         .orderBy(F.col("n_surface").desc(), F.col("surface")))
+    per_entity = (surf.withColumn("_rk", F.row_number().over(w))
+                  .groupBy("canon_id", "entity_group")
+                  .agg(F.transform(
+                           F.sort_array(F.collect_list(
+                               F.when(F.col("_rk") <= top_k_surfaces,
+                                      F.struct("_rk", "surface")))),
+                           lambda s: s["surface"]).alias("surface_forms"),
+                       F.sum("n_surface").alias("n_mentions")))
+
+    return (per_entity.join(n_docs, ["canon_id", "entity_group"])
+            .select("canon_id", F.col("entity_group").alias("type"),
+                    "surface_forms", "n_mentions", "n_docs"))
 
 
 def build_edges(mentions: DataFrame, canon: DataFrame,

@@ -289,7 +289,9 @@ def test_password_fast_path_equivalence():
     raw = _re.compile(r"(?=.*[A-Za-z])(?=.*\d)(?=.*[$#@!%^&*()_+])"
                       r"[A-Za-z\d$#@!%^&*()_+]{8,}")
     rng = random.Random(42)
-    alphabet = "ab1$ #@!xy2 _+Z9 ."
+    # '\n' pins the per-line cutoff semantics: the raw pattern's '.*'
+    # lookaheads stop at newlines, so the fast path must too.
+    alphabet = "ab1$ #@!xy2 _+Z9 .\n"
     for _ in range(500):
         s = "".join(rng.choice(alphabet)
                     for _ in range(rng.randrange(0, 120)))

@@ -133,6 +133,33 @@ def test_materialize_graph(spark):
     assert e and all(r.weight >= 1 for r in e)
 
 
+def test_build_nodes_head_entity_two_phase(spark):
+    """Head entity: exact n_docs via the two-phase distinct count and a
+    bounded surface_forms array (never an unbounded collect_set).  1000
+    mentions over 100 distinct docs and 40 distinct surfaces must yield
+    n_docs=100 (not 1, not 1000) and exactly TOP_K_SURFACES surfaces."""
+    from redactify_spark.operators.graph import TOP_K_SURFACES, build_nodes
+    rows = [("[ORGANIZATION-h]", "ORGANIZATION", f"Surf{i % 40:02d}", i % 100)
+            for i in range(1000)]
+    rows.append(("[PERSON-p]", "PERSON", "John Smith", 3))
+    mentions = spark.createDataFrame(
+        rows, "pseudo_key string, entity_group string, surface string, "
+              "doc_id long")
+    canon = spark.createDataFrame(
+        [("[ORGANIZATION-h]", "[ORGANIZATION-h]"),
+         ("[PERSON-p]", "[PERSON-p]")],
+        "pseudo_key string, canon_id string")
+    got = {r.canon_id: r for r in build_nodes(mentions, canon).collect()}
+    head = got["[ORGANIZATION-h]"]
+    assert head.n_docs == 100
+    assert head.n_mentions == 1000
+    assert len(head.surface_forms) == TOP_K_SURFACES
+    # all 40 surfaces tie at 25 mentions -> deterministic lexicographic order
+    assert head.surface_forms == [f"Surf{i:02d}" for i in range(TOP_K_SURFACES)]
+    assert got["[PERSON-p]"].n_docs == 1
+    assert got["[PERSON-p]"].surface_forms == ["John Smith"]
+
+
 def test_cc_long_chain_converges_fast(spark):
     """Pointer doubling: a 100-node chain converges within the default
     round budget (O(log n), not O(n))."""
