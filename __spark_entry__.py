@@ -29,6 +29,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ANN/dedup LSH configuration shared by queries() and oracle_sql():
+# fixed plane counts (the stored-signature config at scale) make the
+# Spark plan free of driver-side count() calls AND SF-independent, so
+# the DuckDB oracle can embed the deterministic hyperplane literals.
+EMB_DIM = 64            # embeddings.embedding dim at every SF
+ANN_LSH_PLANES = 8      # q39 signature width (probe hamming <= 2)
+DEDUP_BANDS = 8         # q41 banded blocking: bands
+DEDUP_PLANES_PER_BAND = 8   # ... planes per band
+DEDUP_MAX_BUCKET = 64   # ... bucket-width cap (matches linking.MAX_BUCKET)
+IVF_CELLS = 16          # q42 fixed-quantizer cells
+IVF_PROBE = 4           # q42 probed cells per query
+
+
+def _duck_lit(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _duck_dot_lit(vec: str, vals) -> str:
+    """DuckDB: sequential-order dot product of a list column against a
+    literal plane (mirrors Spark's F.aggregate left fold)."""
+    return (f"list_sum(list_transform(generate_series(1, {len(vals)}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({_duck_lit(vals)})[i]))")
+
+
+def _duck_dot_cols(va: str, vb: str, dim: int = EMB_DIM) -> str:
+    return (f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)))")
+
+
+def _duck_cos(va: str, vb: str, dim: int = EMB_DIM) -> str:
+    return (f"({_duck_dot_cols(va, vb, dim)} / "
+            f"(sqrt({_duck_dot_cols(va, va, dim)}) * "
+            f"sqrt({_duck_dot_cols(vb, vb, dim)})))")
+
+
+def _duck_sig(vec: str, planes) -> str:
+    """Sign-LSH signature: bit p set iff dot(vec, plane_p) > 0 (mirrors
+    redactify_spark.operators.similarity.signature_expr)."""
+    terms = [f"(CASE WHEN {_duck_dot_lit(vec, planes[p])} > 0 "
+             f"THEN {1 << p} ELSE 0 END)"
+             for p in range(planes.shape[0])]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pages table derived from the driver's documents
     (doc_id-seeded PII injection; see redactify_spark/sources/pages.py)."""
@@ -521,28 +565,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         q = e.where("vec_id = 0").first().embedding
         return (S.brute_force_topk(e, list(q), k=10)
-                .select("vec_id", F.round("cos", 6).alias("cos")))
+                .select("vec_id", F.round("cos", 6).alias("cos"))
+                .orderBy(F.col("cos").desc(), "vec_id"))
 
     def q39_ann_lsh(spark, sf):
+        # fixed n_planes (the stored-signature config at scale): no
+        # driver-side count() in the call path, and the plane set is
+        # SF-independent so the DuckDB oracle can embed the literals
         e = _t(spark, sf, "embeddings")
         q = e.where("vec_id = 0").first().embedding
-        return (S.lsh_topk(e, list(q), k=10)
-                .select("vec_id", F.round("cos", 6).alias("cos")))
+        return (S.lsh_topk(e, list(q), k=10, n_planes=ANN_LSH_PLANES)
+                .select("vec_id", F.round("cos", 6).alias("cos"))
+                .orderBy(F.col("cos").desc(), "vec_id"))
 
     def q41_embedding_dedup(spark, sf):
-        """Embedding-cosine near-dup pairs (sign-LSH blocking + exact
-        cosine verify) over the embeddings table."""
+        """Embedding-cosine near-dup pairs (BANDED sign-LSH blocking +
+        exact cosine verify) over the embeddings table."""
         e = _t(spark, sf, "embeddings")
-        return (D.embedding_dup_pairs(e, threshold=0.45)
+        return (D.embedding_dup_pairs(e, threshold=0.45,
+                                      n_bands=DEDUP_BANDS,
+                                      planes_per_band=DEDUP_PLANES_PER_BAND,
+                                      dim=EMB_DIM,
+                                      max_bucket=DEDUP_MAX_BUCKET)
                 .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
                 .orderBy("id_a", "id_b"))
 
     def q42_ann_ivf(spark, sf):
-        """IVF ANN: probed-cell scan, exact cosine inside."""
+        """IVF ANN: probed-cell scan, exact cosine inside.  Fixed
+        deterministic quantizer (offline-trained constant at scale): no
+        driver-side table sample, and the centroid literals embed in the
+        DuckDB oracle."""
         e = _t(spark, sf, "embeddings")
         q = e.where("vec_id = 0").first().embedding
-        return (S.ivf_topk(e, list(q), k=10)
-                .select("vec_id", F.round("cos", 6).alias("cos")))
+        cents = S.fixed_centroids(EMB_DIM, IVF_CELLS)
+        return (S.ivf_topk(e, list(q), k=10, n_cells=IVF_CELLS,
+                           n_probe=IVF_PROBE, centroids=cents)
+                .select("vec_id", F.round("cos", 6).alias("cos"))
+                .orderBy(F.col("cos").desc(), "vec_id"))
+
+    def q43_simhash_native(spark, sf):
+        """Fully-native SimHash near-dup pairs: 60-bit signature from
+        md5-token hashes, 4x15-bit band blocking, bit_count(xor) verify
+        -- zero Python, oracle-checked."""
+        d = _t(spark, sf, "documents")
+        return (D.simhash_native_pairs(d, max_hamming=10)
+                .select("id_a", "id_b", F.col("hamming").cast("long")
+                        .alias("hamming"))
+                .orderBy("id_a", "id_b"))
+
+    def q44_word_jaccard(spark, sf):
+        """Word-3-shingle Jaccard verify semantics (the minhash verify
+        stage), fully native + oracle-checked."""
+        d = _t(spark, sf, "documents")
+        return (D.word_jaccard_pairs_native(d, threshold=0.3)
+                .select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+                .orderBy("id_a", "id_b"))
 
     def q40_media_features(spark, sf):
         from redactify_spark.operators.multimodal import (extract_features,
@@ -597,11 +675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_media_features": q40_media_features,
         "q41_embedding_dedup": q41_embedding_dedup,
         "q42_ann_ivf": q42_ann_ivf,
+        "q43_simhash_native": q43_simhash_native,
+        "q44_word_jaccard": q44_word_jaccard,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q01_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -898,3 +978,161 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id LIMIT 200
         """,
     }
+
+    # ---- ANN / embedding-dedup oracles (generated: deterministic
+    # hyperplane literals embedded so DuckDB mirrors the sign-LSH
+    # blocking exactly) --------------------------------------------------
+    from redactify_spark.operators.similarity import _hyperplanes
+    ann_planes = _hyperplanes(EMB_DIM, ANN_LSH_PLANES)
+    dedup_planes = _hyperplanes(EMB_DIM,
+                                DEDUP_BANDS * DEDUP_PLANES_PER_BAND)
+
+    cos_eq = _duck_cos("e.embedding", "q.qe")
+    sql["q38_ann_topk"] = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(cos_raw, 6) AS cos
+        FROM (SELECT e.vec_id, {cos_eq} AS cos_raw
+              FROM embeddings e, q
+              ORDER BY cos_raw DESC, e.vec_id LIMIT 10)
+        ORDER BY cos DESC, vec_id
+    """
+
+    sig_e = _duck_sig("e.embedding", ann_planes)
+    sig_q = _duck_sig("q.qe", ann_planes)
+    sql["q39_ann_lsh"] = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT e.vec_id, e.embedding, {sig_e} AS sig
+              FROM embeddings e),
+        qs AS (SELECT {sig_q} AS qsig FROM q)
+        SELECT vec_id, round(cos_raw, 6) AS cos
+        FROM (SELECT e.vec_id, {cos_eq} AS cos_raw
+              FROM s e, q, qs
+              WHERE bit_count(xor(CAST(e.sig AS BIGINT),
+                                  CAST(qs.qsig AS BIGINT))) <= 2
+              ORDER BY cos_raw DESC, e.vec_id LIMIT 10)
+        ORDER BY cos DESC, vec_id
+    """
+
+    r = DEDUP_PLANES_PER_BAND
+    band_selects = "\n              UNION ALL ".join(
+        f"SELECT e.vec_id, e.embedding, {b} AS band, "
+        f"{_duck_sig('e.embedding', dedup_planes[b * r:(b + 1) * r])} AS sig "
+        f"FROM embeddings e"
+        for b in range(DEDUP_BANDS))
+    cos_ab = _duck_cos("a.embedding", "b.embedding")
+    sql["q41_embedding_dedup"] = f"""
+        WITH banded AS ({band_selects}),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn
+                  FROM banded),
+        narrow AS (SELECT vec_id, embedding, band, sig FROM sized
+                   WHERE bn <= {DEDUP_MAX_BUCKET}),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM narrow a JOIN narrow b
+                   ON a.band = b.band AND a.sig = b.sig
+                      AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cos_raw, 6) AS cos
+        FROM (SELECT c.id_a, c.id_b, {cos_ab} AS cos_raw
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b)
+        WHERE cos_raw >= 0.45
+        ORDER BY id_a, id_b
+    """
+
+    # ---- q42: IVF with the fixed quantizer ------------------------------
+    from redactify_spark.operators.similarity import fixed_centroids
+    cents = fixed_centroids(EMB_DIM, IVF_CELLS)
+    row_dots = "[" + ", ".join(
+        _duck_dot_lit("e.embedding", cents[c]) for c in range(IVF_CELLS)) + "]"
+    q_dots = "[" + ", ".join(
+        _duck_dot_lit("q.qe", cents[c]) for c in range(IVF_CELLS)) + "]"
+    sql["q42_ann_ivf"] = f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qd AS (SELECT {q_dots} AS dots FROM q),
+        probe AS (SELECT cell FROM (
+                    SELECT unnest(dots) AS d,
+                           generate_subscripts(dots, 1) AS cell FROM qd)
+                  ORDER BY d DESC, cell LIMIT {IVF_PROBE}),
+        celled AS (SELECT vec_id, embedding,
+                          list_position(dots, list_max(dots)) AS cell
+                   FROM (SELECT e.vec_id, e.embedding, {row_dots} AS dots
+                         FROM embeddings e))
+        SELECT vec_id, round(cos_raw, 6) AS cos
+        FROM (SELECT e.vec_id, {cos_eq} AS cos_raw
+              FROM celled e, probe p, q
+              WHERE e.cell = p.cell
+              ORDER BY cos_raw DESC, e.vec_id LIMIT 10)
+        ORDER BY cos DESC, vec_id
+    """
+
+    # ---- q43: fully-native SimHash --------------------------------------
+    from redactify_spark.operators.dedup import (SIMHASH_NATIVE_BANDS,
+                                                 SIMHASH_NATIVE_BITS)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, "
+        f"x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_NATIVE_BITS))
+    width = SIMHASH_NATIVE_BITS // SIMHASH_NATIVE_BANDS
+    mask = (1 << width) - 1
+    sql["q43_simhash_native"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        hs AS (SELECT doc_id,
+                      list_transform(tokens,
+                          t -> CAST('0x' || substr(md5(t), 1, 15)
+                                    AS BIGINT)) AS h
+               FROM toks),
+        sh AS (SELECT doc_id, ({bit_terms}) AS simhash FROM hs),
+        banded AS (SELECT doc_id, simhash, b.band,
+                          (simhash >> (b.band * {width})) & {mask} AS bits
+                   FROM sh, (SELECT unnest(range({SIMHASH_NATIVE_BANDS}))
+                             AS band) b)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        ORDER BY id_a, id_b
+    """
+
+    # ---- q44: native word-shingle Jaccard (minhash verify semantics) ----
+    sql["q44_word_jaccard"] = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id, source,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        grams AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(tokens) < 3
+                        THEN [array_to_string(tokens, ' ')]
+                        ELSE list_distinct(list_transform(
+                            generate_series(1, len(tokens) - 2),
+                            i -> array_to_string(
+                                list_slice(tokens, i, i + 2), ' ')))
+                   END AS g
+            FROM toks)
+        SELECT id_a, id_b, round(jac, 6) AS jaccard
+        FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / (len(a.g) + len(b.g)
+                        - len(list_intersect(a.g, b.g))) AS jac
+              FROM grams a JOIN grams b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(least(len(a.g), len(b.g)) AS DOUBLE)
+                    >= 0.3 * greatest(len(a.g), len(b.g)))
+        WHERE jac >= 0.3
+        ORDER BY id_a, id_b
+    """
+    return sql

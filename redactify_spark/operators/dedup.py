@@ -33,6 +33,8 @@ from redactify_spark.operators.linking import (MAX_BUCKET, N_BANDS,
                                                normalize_surface,
                                                band_signatures)
 
+MAX_NGRAM_BLOCK = 1024  # quadratic-pair cap per block (C(1024,2) ~ 500k)
+
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -217,20 +219,153 @@ def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
             .where(F.col("hamming") <= max_hamming))
 
 
+# --- fully-native SimHash (oracle-expressible, zero Python) -----------------
+
+SIMHASH_NATIVE_BITS = 60   # 15 md5 hex chars -> fits signed int64
+SIMHASH_NATIVE_BANDS = 4   # 4 x 15-bit blocking bands
+
+
+def _native_tokens(text_col):
+    """ASCII-normalized whitespace tokens as a native expression.
+
+    NB: the Python kernel's normalize_surface is unicode-aware
+    (str.isalnum); this native path normalizes with an ASCII character
+    class -- identical on ASCII corpora, the documented difference on
+    unicode.  Both engines (Spark / DuckDB) share the regex semantics,
+    which is what makes the operator oracle-checkable."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+    return F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+
+
+def doc_simhash_native(docs: DataFrame, text_col: str = "text",
+                       n_bits: int = SIMHASH_NATIVE_BITS) -> DataFrame:
+    """SimHash computed ENTIRELY with native expressions: token hash =
+    first 15 md5 hex chars as int64 (conv base 16), per-bit majority of
+    +/-1 via one array fold per bit.  No Python anywhere: one md5 pass
+    per token (materialized as a column so the 60 bit-folds reuse it),
+    whole-stage codegen end to end.  The scale path next to the
+    Python-kernel doc_simhash (q37), and DuckDB-mirrorable."""
+    hashes = F.transform(
+        _native_tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    hs = docs.select("doc_id", hashes.alias("_hs"))
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        vote = F.aggregate(
+            F.col("_hs"), F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1))
+                                  * 2 - 1))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return hs.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_native_pairs(docs: DataFrame, text_col: str = "text",
+                         max_hamming: int = 10,
+                         n_bits: int = SIMHASH_NATIVE_BITS,
+                         n_bands: int = SIMHASH_NATIVE_BANDS) -> DataFrame:
+    """Near-dup pairs over the native SimHash: band blocking (equi-join
+    on 15-bit band slices) + native bit_count(xor) hamming verify."""
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sh = doc_simhash_native(docs, text_col, n_bits)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), i * width)
+                     .bitwiseAND(F.lit(mask)).alias("bits"))
+            for i in range(n_bands)])).alias("bb")) \
+        .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                F.col("bb.bits").alias("bits"))
+    a = banded.select("band", "bits", F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "bits", F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    return (a.join(b, ["band", "bits"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("hamming") <= max_hamming))
+
+
+# --- fully-native word-shingle Jaccard (the minhash VERIFY semantics) --------
+
+def word_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
+                              k: int = 3, block_col: str = "source",
+                              threshold: float = 0.3,
+                              max_block: int = MAX_NGRAM_BLOCK) -> DataFrame:
+    """Word-k-shingle Jaccard between documents within a block, fully
+    native.  This is the verify-stage semantics of minhash_dup_pairs
+    (Jaccard over word shingles; md5-hashing the shingles there only
+    compresses them -- Jaccard over the strings is the same number up to
+    hash collisions), expressed so a DuckDB oracle can check it exactly.
+    Same block-width cap as ngram_jaccard_pairs_native."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
+    sized = docs.withColumn(
+        "_block_n", F.count("*").over(Window.partitionBy(block_col)))
+    docs = sized.where(F.col("_block_n") <= max_block).drop("_block_n")
+    toks = _native_tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) < k,
+        F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "))))
+    grams = docs.select(F.col("doc_id"), F.col(block_col).alias("_block"),
+                        sh.alias("grams"))
+    a = grams.select("_block", F.col("doc_id").alias("id_a"),
+                     F.col("grams").alias("g_a"))
+    b = grams.select("_block", F.col("doc_id").alias("id_b"),
+                     F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    na, nb = F.size("g_a"), F.size("g_b")
+    ratio_ok = (F.least(na, nb).cast("double")
+                >= F.lit(threshold) * F.greatest(na, nb))
+    return (a.join(b, "_block")
+            .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
+            .select("id_a", "id_b",
+                    (inter.cast("double") / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 # --- native n-gram Jaccard (oracle-expressible) ------------------------------
+
+def wide_ngram_block_count(docs: DataFrame, block_col: str = "source",
+                           max_block: int = MAX_NGRAM_BLOCK) -> int:
+    """Metric: blocks dropped by the width cap (no silent caps)."""
+    return (docs.groupBy(block_col).count()
+            .where(F.col("count") > max_block).count())
+
 
 def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
                                n: int = 3, block_col: str = "source",
-                               threshold: float = 0.5) -> DataFrame:
+                               threshold: float = 0.5,
+                               max_block: int = MAX_NGRAM_BLOCK) -> DataFrame:
     """Character-n-gram Jaccard between documents within a block, expressed
     ENTIRELY in native Spark SQL functions (sequence/transform/
     array_distinct/array_intersect) so whole-stage codegen applies and a
     DuckDB oracle can mirror it exactly.  Blocked equi-join, not a cross
-    join; for unblocked corpora use minhash_dup_pairs instead."""
+    join; for unblocked corpora use minhash_dup_pairs instead.
+
+    The pair expansion is quadratic WITHIN a block: a boilerplate-heavy
+    corpus putting 10^6 docs in one block is 10^12 candidate pairs.
+    Blocks wider than `max_block` are therefore dropped before the join
+    (count-over-window, the same cap shape as linking.candidate_pairs);
+    surface the number dropped with `wide_ngram_block_count` -- capped
+    blocks are counted, never silently exploded."""
     # small single-file scans would serialize gram computation AND the
     # post-join filter; spread rows before the expensive array work
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
+    sized = docs.withColumn(
+        "_block_n", F.count("*").over(Window.partitionBy(block_col)))
+    docs = sized.where(F.col("_block_n") <= max_block).drop("_block_n")
     grams = docs.select(
         F.col("doc_id"), F.col(block_col).alias("_block"),
         F.array_distinct(
@@ -260,46 +395,101 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
 
 # --- embedding-cosine near-duplicate dedup -----------------------------------
 
+EMB_BANDS = 8            # signature bands (candidate = ANY band matches)
+EMB_PLANES_PER_BAND = 8  # hyperplanes per band (256-bucket band space)
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
-    """Near-duplicate pairs by embedding cosine: sign-LSH signature
-    blocking (equi-join, never a cross join) -> exact cosine verify.
-    A pair above `threshold` cosine almost surely agrees on every
-    hyperplane sign, so same-signature blocking keeps recall high at
-    high thresholds."""
+                        id_col: str = "vec_id",
+                        n_bands: int = EMB_BANDS,
+                        planes_per_band: int = EMB_PLANES_PER_BAND,
+                        dim: int | None = None,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: BANDED sign-LSH blocking
+    (equi-join per band on (band, band_signature) -- never a cross join)
+    -> exact cosine verify.
+
+    Banding is what keeps recall high: with a single n-plane signature,
+    a pair at cosine c agrees on all planes with prob p^n where
+    p = 1-acos(c)/pi (~0.65 at c=0.95, n=4); with B independent bands of
+    r planes each, a pair is a candidate if ANY band agrees:
+    1-(1-p^r)^B (~0.99 at c=0.95, B=r=8).  Same shape as the MinHash
+    band trick in linking.py.  r also sizes the per-band bucket space
+    (2^r): too few planes per band collapses distinct clusters into one
+    bucket and the width cap then drops true-dup buckets.
+
+    Buckets wider than `max_bucket` are dropped before the pair
+    expansion (identical-vector floods would go quadratic); count them
+    with `wide_embedding_bucket_count`.  Pass `dim` when known -- the
+    fallback issues a driver-side first() per call."""
     from redactify_spark.operators.similarity import (_hyperplanes,
                                                       _norm_expr,
-                                                      adaptive_planes,
                                                       signature_expr)
-    n_planes = adaptive_planes(embeddings.count())
-    planes = _hyperplanes(
-        len(embeddings.select(vec_col).first()[0]), n_planes)
-    sigged = embeddings.select(
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bands * planes_per_band)
+    sig_exprs = [
+        signature_expr(F.col(vec_col),
+                       planes[b * planes_per_band:(b + 1) * planes_per_band])
+        for b in range(n_bands)]
+    banded = embeddings.select(
         F.col(id_col), F.col(vec_col),
-        signature_expr(F.col(vec_col), planes).alias("_sig"))
-    a = sigged.select(F.col("_sig"), F.col(id_col).alias("id_a"),
+        F.posexplode(F.array(*sig_exprs)).alias("_band", "_sig"))
+    sized = banded.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("_band", "_sig")))
+    narrow = sized.where(F.col("_bn") <= max_bucket).drop("_bn")
+    a = narrow.select("_band", "_sig", F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("v_a"))
-    b = sigged.select(F.col("_sig"), F.col(id_col).alias("id_b"),
+    b = narrow.select("_band", "_sig", F.col(id_col).alias("id_b"),
                       F.col(vec_col).alias("v_b"))
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (_norm_expr(F.col("v_a")) * _norm_expr(F.col("v_b")))
-    return (a.join(b, "_sig")
+    return (a.join(b, ["_band", "_sig"])
             .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
             .select("id_a", "id_b", cos.alias("cos"))
             .where(F.col("cos") >= threshold))
 
 
+def wide_embedding_bucket_count(embeddings: DataFrame,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_bands: int = EMB_BANDS,
+                                planes_per_band: int = EMB_PLANES_PER_BAND,
+                                dim: int | None = None,
+                                max_bucket: int = MAX_BUCKET) -> int:
+    """Metric: sign-LSH buckets dropped by the width cap."""
+    from redactify_spark.operators.similarity import (_hyperplanes,
+                                                      signature_expr)
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bands * planes_per_band)
+    sig_exprs = [
+        signature_expr(F.col(vec_col),
+                       planes[b * planes_per_band:(b + 1) * planes_per_band])
+        for b in range(n_bands)]
+    banded = embeddings.select(
+        F.posexplode(F.array(*sig_exprs)).alias("_band", "_sig"))
+    return (banded.groupBy("_band", "_sig").count()
+            .where(F.col("count") > max_bucket).count())
+
+
 def dedup_embeddings(embeddings: DataFrame, threshold: float = 0.95,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     n_bands: int = EMB_BANDS,
+                     planes_per_band: int = EMB_PLANES_PER_BAND,
+                     dim: int | None = None) -> DataFrame:
     """Keep one representative (min id) per embedding-cosine near-dup
     cluster."""
     from redactify_spark.operators.components import connected_components
-    pairs = embedding_dup_pairs(embeddings, threshold, vec_col, id_col)
+    pairs = embedding_dup_pairs(embeddings, threshold, vec_col, id_col,
+                                n_bands=n_bands,
+                                planes_per_band=planes_per_band, dim=dim)
     comp = connected_components(
         pairs.select(F.col("id_a").cast("string").alias("key_a"),
                      F.col("id_b").cast("string").alias("key_b")))

@@ -52,14 +52,15 @@ def brute_force_topk(embeddings: DataFrame, qvec: list[float],
             .limit(k))
 
 
-def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int = N_PLANES,
+                 seed: str = "plane") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (md5 expansion)."""
     rows = []
     for p in range(n_planes):
         vals = []
         i = 0
         while len(vals) < dim:
-            h = hashlib.md5(f"plane{p}:{i}".encode()).digest()
+            h = hashlib.md5(f"{seed}{p}:{i}".encode()).digest()
             for off in range(0, 16, 4):
                 vals.append(int.from_bytes(h[off:off + 4], "big")
                             / 2**31 - 1.0)
@@ -90,16 +91,22 @@ def adaptive_planes(n_vectors: int, target_bucket: int = 64) -> int:
 
 def lsh_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              vec_col: str = "embedding", dim: int | None = None,
-             n_planes: int | None = None,
+             n_planes: int | None = None, n_vectors: int | None = None,
              max_probe_hamming: int = 2) -> DataFrame:
     """Bucket-pruned ANN: scan only buckets whose signature is within
     `max_probe_hamming` bits of the query signature, exact cosine inside.
 
     At scale the signature is a stored column (partition/bucket pruning at
-    the scan); here it is computed inline for self-containedness."""
+    the scan); here it is computed inline for self-containedness.
+
+    Sizing: pass `n_planes` (the stored-signature config) or `n_vectors`
+    (known corpus size, e.g. from table stats) -- only when BOTH are
+    absent does this fall back to a driver-side count(), which is a full
+    scan per call and must not be on a hot path at 10^9 rows."""
     dim = dim or len(qvec)
     if n_planes is None:
-        n_planes = adaptive_planes(embeddings.count())
+        n_planes = adaptive_planes(n_vectors if n_vectors is not None
+                                   else embeddings.count())
     planes = _hyperplanes(dim, n_planes)
     q = np.asarray(qvec, dtype=np.float64)
     qsig = 0
@@ -123,16 +130,23 @@ def lsh_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
 
 def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
                        k: int = 5, vec_col: str = "embedding",
-                       n_planes: int | None = None) -> DataFrame:
+                       n_planes: int | None = None,
+                       dim: int | None = None,
+                       n_vectors: int | None = None) -> DataFrame:
     """Batch ANN: every query row against the corpus via sign-LSH bucket
     equi-join (query sig == corpus sig), exact cosine re-rank, window
     top-k per query.  The join is an equi-join on the signature -- shuffle
-    on a small integer key, never a cross join."""
+    on a small integer key, never a cross join.
+
+    Pass `dim` and `n_planes`/`n_vectors` when known (schema metadata /
+    table stats): the fallbacks below issue a driver-side first()/count()
+    per call, fine one-shot but a full scan at 10^9 rows."""
     from pyspark.sql.window import Window
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     if n_planes is None:
-        n_planes = adaptive_planes(embeddings.count())
+        n_planes = adaptive_planes(n_vectors if n_vectors is not None
+                                   else embeddings.count())
     planes = _hyperplanes(dim, n_planes)
     corpus = embeddings.withColumn("_sig",
                                    signature_expr(F.col(vec_col), planes))
@@ -184,6 +198,16 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
         cent = members.mean(axis=0) if len(members) else seeds[c]
         cents.append(cent / max(float(np.linalg.norm(cent)), 1e-12))
     return np.asarray(cents)
+
+
+def fixed_centroids(dim: int, n_cells: int = 16) -> np.ndarray:
+    """Data-independent deterministic quantizer: md5-expanded pseudo-random
+    directions, normalized.  At scale the IVF quantizer is trained offline
+    and shipped as a constant anyway; a fixed quantizer additionally makes
+    the probed-cell query oracle-expressible (the centroid literals can be
+    embedded in SQL) and needs no driver-side sample of the table."""
+    C = _hyperplanes(dim, n_cells, seed="cent")
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
 
 def cell_assign_expr(col, centroids: np.ndarray):

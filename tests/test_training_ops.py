@@ -82,6 +82,21 @@ def test_ngram_jaccard_native(spark, docs):
     assert (0, 3) not in got
 
 
+def test_ngram_block_cap_fires(spark):
+    """An oversized block is dropped (counted, not silently exploded):
+    the quadratic pair expansion never sees it."""
+    rows = [(i, f"shared boilerplate text number {i}", "big") for i in range(40)]
+    rows += [(100, "alpha beta gamma", "small"), (101, "alpha beta gamma", "small")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert D.wide_ngram_block_count(docs, max_block=10) == 1
+    pairs = D.ngram_jaccard_pairs_native(docs, threshold=0.3,
+                                         max_block=10).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert ids == {100, 101}  # the capped block contributed nothing
+    # default cap admits the block
+    assert D.wide_ngram_block_count(docs) == 0
+
+
 # --- similarity search ---------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -110,6 +125,69 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     approx = [r.vec_id for r in S.lsh_topk(embeddings, list(q), k=10).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, (recall, exact, approx)  # adaptive planes, 2-bit probe
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """16 unit-norm cluster centers, 40 members each with small gaussian
+    noise -- the regime ANN/near-dup operators are built for (true
+    neighbors genuinely close)."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(16):
+        for _ in range(40):
+            v = centers[c] + 0.02 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v], f"c{c}"))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string").cache()
+
+
+def test_lsh_recall_clustered(spark, clustered):
+    """recall@10 >= 0.9 for the bucket-pruned path in its intended
+    regime (fixed 8-plane signature, hamming<=2 probe)."""
+    q = clustered.where("vec_id = 5").first().embedding
+    exact = [r.vec_id for r in
+             S.brute_force_topk(clustered, list(q), k=10).collect()]
+    approx = [r.vec_id for r in
+              S.lsh_topk(clustered, list(q), k=10, n_planes=8).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_ivf_recall_clustered(spark, clustered):
+    q = clustered.where("vec_id = 45").first().embedding
+    exact = [r.vec_id for r in
+             S.brute_force_topk(clustered, list(q), k=10).collect()]
+    approx = [r.vec_id for r in
+              S.ivf_topk(clustered, list(q), k=10, n_cells=16,
+                         n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_embedding_dup_recall_clustered(spark, clustered):
+    """Banded sign-LSH blocking must recover >=90% of the true
+    cosine>=0.95 pairs (ground truth: driver-side numpy over the small
+    fixture).  Guards the recall property the single-signature design
+    lacked at this threshold."""
+    rows = sorted(clustered.collect(), key=lambda r: r.vec_id)
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = V @ V.T
+    ids = [r.vec_id for r in rows]
+    truth = {(ids[i], ids[j])
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if sims[i, j] >= 0.95}
+    got = {(r.id_a, r.id_b) for r in
+           D.embedding_dup_pairs(clustered, threshold=0.95,
+                                 dim=64).collect()}
+    assert truth, "fixture must contain true near-dup pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))
+    assert got <= truth  # exact verify: no false positives
 
 
 def test_pairwise_topk_join(spark, embeddings):
