@@ -252,24 +252,6 @@ def detect_regex(text: str) -> list[dict]:
 # (oracle and UDF share it).
 # ---------------------------------------------------------------------------
 
-_PRESIDIO_RULES: list[tuple[str, re.Pattern, float]] = [
-    ("EMAIL_ADDRESS",
-     re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"), 1.0),
-    ("URL",
-     re.compile(r"\bhttps?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"), 0.85),
-    ("IP_ADDRESS",
-     re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"), 0.95),
-    ("US_SSN",
-     re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), 0.85),
-    ("PHONE_NUMBER",
-     re.compile(r"(?:\+?\d{1,2}[-.\s]?)?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}\b"), 0.75),
-    ("CREDIT_CARD",
-     re.compile(r"\b(?:\d{4}[- ]?){3}\d{4}\b"), 1.0),
-    ("DATE_TIME",
-     re.compile(r"\b\d{4}-\d{2}-\d{2}\b"), 0.6),
-]
-
-
 def luhn_valid(digits: str) -> bool:
     """Luhn checksum (reference: server/models/financial_ner.py:280-301)."""
     ds = [int(c) for c in digits if c.isdigit()]
@@ -290,18 +272,142 @@ def _valid_ip(s: str) -> bool:
     return all(0 <= int(p) <= 255 for p in s.split("."))
 
 
+def _iban_valid(s: str) -> bool:
+    """ISO 13616 mod-97 check (Presidio IbanRecognizer semantics)."""
+    s = s.replace(" ", "")
+    if not (15 <= len(s) <= 34):
+        return False
+    rearranged = s[4:] + s[:4]
+    digits = ""
+    for ch in rearranged:
+        if ch.isdigit():
+            digits += ch
+        elif ch.isalpha():
+            digits += str(ord(ch.upper()) - ord("A") + 10)
+        else:
+            return False
+    return int(digits) % 97 == 1
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _btc_valid(addr: str) -> bool:
+    """Base58Check validation (Presidio CryptoRecognizer semantics):
+    decode to 25 bytes, double-sha256 checksum over the first 21."""
+    import hashlib as _h
+    n = 0
+    for c in addr:
+        i = _B58_ALPHABET.find(c)
+        if i < 0:
+            return False
+        n = n * 58 + i
+    try:
+        raw = n.to_bytes(25, "big")
+    except OverflowError:
+        return False
+    return _h.sha256(_h.sha256(raw[:-4]).digest()).digest()[:4] == raw[-4:]
+
+
+def _nhs_valid(s: str) -> bool:
+    """UK NHS number check digit (mod-11, Presidio UkNhsRecognizer)."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 10:
+        return False
+    check = 11 - sum(d * (10 - i) for i, d in enumerate(ds[:9])) % 11
+    if check == 11:
+        check = 0
+    return check != 10 and check == ds[9]
+
+
+def _dea_valid(s: str) -> bool:
+    """DEA registration checksum (Presidio MedicalLicenseRecognizer):
+    2 letters + 7 digits; (d1+d3+d5) + 2*(d2+d4+d6) ends in d7."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 7:
+        return False
+    total = (ds[0] + ds[2] + ds[4]) + 2 * (ds[1] + ds[3] + ds[5])
+    return total % 10 == ds[6]
+
+
+# Recognizer registry: (type, pattern, base_score, validator,
+# context_terms).  Pattern shapes and score tiers follow the public
+# Presidio predefined recognizers (presidio_analyzer/predefined_
+# recognizers/) that the reference's AnalyzerEngine ships by default
+# (detection_engine.py:433-456 runs the full default registry):
+# checksum-validated types score 1.0 on a passing check and are dropped
+# on a failing one; weak shapes (9-digit passport, 8-17 digit bank
+# account) start below the 0.3 pipeline threshold and only surface when
+# a context term appears nearby (+0.35, Presidio's context enhancer).
+_PRESIDIO_RULES: list[dict] = [
+    dict(type="EMAIL_ADDRESS", score=1.0,
+         pat=re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")),
+    dict(type="URL", score=0.85,
+         pat=re.compile(r"\bhttps?://[A-Za-z0-9.\-]+(?:/[^\s]*)?")),
+    dict(type="IP_ADDRESS", score=0.95,
+         pat=re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+         validator=_valid_ip),
+    dict(type="US_SSN", score=0.85,
+         pat=re.compile(r"\b\d{3}-\d{2}-\d{4}\b")),
+    dict(type="PHONE_NUMBER", score=0.75,
+         pat=re.compile(r"(?:\+?\d{1,2}[-.\s]?)?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}\b")),
+    dict(type="CREDIT_CARD", score=1.0,
+         pat=re.compile(r"\b(?:\d{4}[- ]?){3}\d{4}\b"),
+         validator=luhn_valid),
+    dict(type="DATE_TIME", score=0.6,
+         pat=re.compile(r"\b\d{4}-\d{2}-\d{2}\b")),
+    dict(type="IBAN_CODE", score=1.0,
+         pat=re.compile(r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"),
+         validator=_iban_valid),
+    dict(type="US_ITIN", score=0.85,
+         pat=re.compile(r"\b9\d{2}-(?:5\d|6[0-5]|7\d|8[0-8]|9[0-2]|"
+                        r"9[4-9])-\d{4}\b")),
+    dict(type="CRYPTO", score=1.0,
+         pat=re.compile(r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"),
+         validator=_btc_valid),
+    dict(type="UK_NHS", score=1.0,
+         pat=re.compile(r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"),
+         validator=_nhs_valid),
+    dict(type="MEDICAL_LICENSE", score=1.0,
+         pat=re.compile(r"\b[A-Za-z]{2}\d{7}\b"),
+         validator=_dea_valid),
+    dict(type="US_PASSPORT", score=0.05,
+         pat=re.compile(r"\b[0-9]{9}\b"),
+         context=("passport",)),
+    dict(type="US_DRIVER_LICENSE", score=0.30,
+         # Presidio's "Driver License - Alphanumeric (weak)" union
+         # (uppercase prefix + digits), case-sensitive
+         pat=re.compile(r"\b(?:[A-Z][0-9]{3,6}|[A-Z][0-9]{5,9}|"
+                        r"[A-Z]{2}[0-9]{2,5}|[A-Z]{2}[0-9]{5,9})\b"),
+         context=("driver", "license", "permit", "lic#", "dl#")),
+    dict(type="US_BANK_NUMBER", score=0.05,
+         pat=re.compile(r"\b[0-9]{8,17}\b"),
+         context=("bank", "account", "routing", "checking", "saving")),
+]
+
+_PRESIDIO_CONTEXT_WINDOW = 40   # chars each side (lemma-window stand-in)
+_PRESIDIO_CONTEXT_BOOST = 0.35  # Presidio context-enhancer default
+
+
 def detect_presidio(text: str) -> list[dict]:
     out = []
-    for etype, pat, score in _PRESIDIO_RULES:
-        for m in pat.finditer(text):
+    tl = text.lower()
+    for rule in _PRESIDIO_RULES:
+        validator = rule.get("validator")
+        ctx_terms = rule.get("context")
+        for m in rule["pat"].finditer(text):
             s, e = m.span()
             surface = text[s:e]
-            if etype == "CREDIT_CARD" and not luhn_valid(surface):
+            if validator is not None and not validator(surface):
                 continue
-            if etype == "IP_ADDRESS" and not _valid_ip(surface):
-                continue
+            score = rule["score"]
+            if ctx_terms:
+                nearby = tl[max(0, s - _PRESIDIO_CONTEXT_WINDOW):
+                            min(len(text), e + _PRESIDIO_CONTEXT_WINDOW)]
+                if any(t in nearby for t in ctx_terms):
+                    score = min(1.0, score + _PRESIDIO_CONTEXT_BOOST)
             out.append({
-                "entity_group": etype,
+                "entity_group": rule["type"],
                 "start": s, "end": e,
                 "score": score,
                 "detector": "presidio_internal",
