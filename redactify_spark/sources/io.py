@@ -23,26 +23,40 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def write_table(df: DataFrame, target: str, mode: str = "overwrite",
                 bucket_col: str | None = None,
-                n_buckets: int = 64) -> None:
+                n_buckets: int = 64,
+                partition_col: str | None = None) -> None:
     """Write to `target` (an Iceberg table name like 'db.triples' when a
     catalog is up, else a filesystem path).
 
-    On Iceberg: `writeTo(...).partitionedBy(bucket(n, col))`.
-    On parquet: repartition by a hash of the bucket column so downstream
-    equi-joins on it are co-partitioned reads."""
+    On Iceberg: `writeTo(...).partitionedBy(bucket(n, col))` (identity
+    partition on `partition_col` when given).
+    On parquet: `partitionBy(partition_col)` produces the hive-style
+    directory layout whose scans get real PartitionFilters pruning
+    (plan-asserted in tests/test_bucketing.py); `bucket_col` repartitions
+    by a hash of the column so downstream equi-joins on it read
+    co-partitioned files."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in target:
         w = df.writeTo(target)
+        parts = []
+        if partition_col:
+            from pyspark.sql.functions import col
+            parts.append(col(partition_col))
         if bucket_col:
             from pyspark.sql.functions import bucket, col
-            w = w.partitionedBy(bucket(n_buckets, col(bucket_col)))
+            parts.append(bucket(n_buckets, col(bucket_col)))
+        if parts:
+            w = w.partitionedBy(*parts)
         (w.createOrReplace() if mode == "overwrite" else w.append())
         return
     if bucket_col:
         from pyspark.sql.functions import col, pmod, xxhash64
         df = df.repartition(n_buckets,
                             pmod(xxhash64(col(bucket_col)), n_buckets))
-    df.write.mode(mode).parquet(target)
+    w = df.write.mode(mode)
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(target)
 
 
 def read_table(spark: SparkSession, target: str) -> DataFrame:

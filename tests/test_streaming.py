@@ -66,3 +66,50 @@ def test_stateful_entity_registry(spark, pages_dir, tmp_path):
     expected_keys = {r.pseudo_key for r in
                      batch.select("pseudo_key").distinct().collect()}
     assert set(keys) == expected_keys
+
+
+def test_stateful_registry_survives_restart(spark, tmp_path):
+    """State-store recovery: stop the registry stream after the first
+    tranche of files, append a second tranche, RESTART from the same
+    checkpoint -- first-sightings must stay exactly-once across the
+    restart (keys emitted before the crash are not re-emitted; new keys
+    are)."""
+    from redactify_spark.streaming.stateful import entity_registry_stream
+
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "registry_out")
+    synth_pages(spark, 24, partitions=2).write.mode("overwrite").parquet(src)
+
+    def run():
+        # fault-tolerant file sink (the memory sink cannot recover from a
+        # checkpoint); each restart resumes source offsets AND state
+        stream = DS.stream_pages(spark, src)
+        mentions = DS.stream_mentions(stream).drop("warc_ts")
+        reg = entity_registry_stream(mentions)
+        q = (reg.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return [r.pseudo_key for r in spark.read.parquet(out).collect()]
+
+    first = set(run())
+    assert first, "first run emitted nothing"
+
+    # "crash" happened; a second crawl tranche lands (docs 24..47: they
+    # share many entities with the first tranche plus some new ones)
+    seen_urls = synth_pages(spark, 24, partitions=2).select("url")
+    synth_pages(spark, 48, partitions=2) \
+        .join(seen_urls, "url", "left_anti") \
+        .write.mode("append").parquet(src)
+
+    all_emitted = run()
+    assert len(all_emitted) == len(set(all_emitted)), \
+        "a key emitted before the restart was re-emitted after it"
+    batch = detect_mentions(spark.read.parquet(src),
+                            id_col="url", text_col="text")
+    all_keys = {r.pseudo_key for r in
+                batch.select("pseudo_key").distinct().collect()}
+    assert set(all_emitted) == all_keys
+    assert set(all_emitted) - first, "second tranche added no new keys"
