@@ -34,6 +34,7 @@ from redactify_spark.operators.linking import (MAX_BUCKET, N_BANDS,
                                                band_signatures)
 
 MAX_NGRAM_BLOCK = 1024  # quadratic-pair cap per block (C(1024,2) ~ 500k)
+PAIR_SPLIT = 8  # pair-space split: join parallelism = n_blocks * PAIR_SPLIT
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -296,13 +297,15 @@ def simhash_native_pairs(docs: DataFrame, text_col: str = "text",
 def word_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
                               k: int = 3, block_col: str = "source",
                               threshold: float = 0.3,
-                              max_block: int = MAX_NGRAM_BLOCK) -> DataFrame:
+                              max_block: int = MAX_NGRAM_BLOCK,
+                              pair_split: int = PAIR_SPLIT) -> DataFrame:
     """Word-k-shingle Jaccard between documents within a block, fully
     native.  This is the verify-stage semantics of minhash_dup_pairs
-    (Jaccard over word shingles; md5-hashing the shingles there only
-    compresses them -- Jaccard over the strings is the same number up to
-    hash collisions), expressed so a DuckDB oracle can check it exactly.
-    Same block-width cap as ngram_jaccard_pairs_native."""
+    (Jaccard over word shingles; hashing the shingles only compresses
+    them -- Jaccard over the strings is the same number up to hash
+    collisions), expressed so a DuckDB oracle can check it exactly.
+    Shingles are xxhash64-compressed and the join uses the same
+    pair-space split + block-width cap as ngram_jaccard_pairs_native."""
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
     sized = docs.withColumn(
@@ -311,27 +314,14 @@ def word_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
     toks = _native_tokens(F.col(text_col))
     sh = F.when(
         F.size(toks) < k,
-        F.array(F.array_join(toks, " "))
+        F.array(F.xxhash64(F.array_join(toks, " ")))
     ).otherwise(
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "))))
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")))))
     grams = docs.select(F.col("doc_id"), F.col(block_col).alias("_block"),
                         sh.alias("grams"))
-    a = grams.select("_block", F.col("doc_id").alias("id_a"),
-                     F.col("grams").alias("g_a"))
-    b = grams.select("_block", F.col("doc_id").alias("id_b"),
-                     F.col("grams").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size("g_a") + F.size("g_b") - inter
-    na, nb = F.size("g_a"), F.size("g_b")
-    ratio_ok = (F.least(na, nb).cast("double")
-                >= F.lit(threshold) * F.greatest(na, nb))
-    return (a.join(b, "_block")
-            .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
-            .select("id_a", "id_b",
-                    (inter.cast("double") / union).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    return _blocked_jaccard_join(grams, threshold, pair_split)
 
 
 # --- native n-gram Jaccard (oracle-expressible) ------------------------------
@@ -346,12 +336,27 @@ def wide_ngram_block_count(docs: DataFrame, block_col: str = "source",
 def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
                                n: int = 3, block_col: str = "source",
                                threshold: float = 0.5,
-                               max_block: int = MAX_NGRAM_BLOCK) -> DataFrame:
+                               max_block: int = MAX_NGRAM_BLOCK,
+                               pair_split: int = PAIR_SPLIT) -> DataFrame:
     """Character-n-gram Jaccard between documents within a block, expressed
     ENTIRELY in native Spark SQL functions (sequence/transform/
     array_distinct/array_intersect) so whole-stage codegen applies and a
     DuckDB oracle can mirror it exactly.  Blocked equi-join, not a cross
     join; for unblocked corpora use minhash_dup_pairs instead.
+
+    Efficiency shape:
+    - grams are xxhash64-compressed to int64 BEFORE the join: the
+      distinct-gram sets and therefore the Jaccard are unchanged (up to
+      64-bit collisions, ~1e-9 at 10^6 distinct grams), while the
+      shuffle payload and the array_intersect hash probes run on fixed
+      8-byte longs instead of strings.
+    - the pair space is split `pair_split` ways on hash(id_b): the a-side
+      is replicated to every split, so the quadratic verify work spreads
+      over n_blocks * pair_split reducers instead of one reducer per
+      block -- with 20 blocks and 32 cores, the un-split join leaves a
+      third of the machine idle.
+    - size-ratio prune BEFORE the intersect (jaccard >= t implies
+      min/max gram counts >= t).
 
     The pair expansion is quadratic WITHIN a block: a boilerplate-heavy
     corpus putting 10^6 docs in one block is 10^12 candidate pairs.
@@ -359,8 +364,6 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
     (count-over-window, the same cap shape as linking.candidate_pairs);
     surface the number dropped with `wide_ngram_block_count` -- capped
     blocks are counted, never silently exploded."""
-    # small single-file scans would serialize gram computation AND the
-    # post-join filter; spread rows before the expensive array work
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
     sized = docs.withColumn(
@@ -372,21 +375,29 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
             F.transform(
                 F.sequence(F.lit(1), F.greatest(
                     F.length(text_col) - (n - 1), F.lit(1))),
-                lambda i: F.col(text_col).substr(i, F.lit(n))))
+                lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(n)))))
         .alias("grams"))
+    return _blocked_jaccard_join(grams, threshold, pair_split)
+
+
+def _blocked_jaccard_join(grams: DataFrame, threshold: float,
+                          pair_split: int) -> DataFrame:
+    """Self-join grams(doc_id, _block, grams) within _block with the
+    pair-space split + size-ratio prune + exact Jaccard verify."""
     a = grams.select("_block", F.col("doc_id").alias("id_a"),
                      F.col("grams").alias("g_a"))
     b = grams.select("_block", F.col("doc_id").alias("id_b"),
-                     F.col("grams").alias("g_b"))
+                     F.col("grams").alias("g_b"),
+                     F.pmod(F.xxhash64("doc_id"), F.lit(pair_split))
+                     .alias("_pb"))
+    a = a.withColumn(
+        "_pb", F.explode(F.array(*[F.lit(j) for j in range(pair_split)])))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
-    # necessary size-ratio condition: jaccard >= t implies
-    # min(|A|,|B|)/max(|A|,|B|) >= t, so prune pairs on the cheap size
-    # compare BEFORE the expensive array_intersect projection
     na, nb = F.size("g_a"), F.size("g_b")
     ratio_ok = (F.least(na, nb).cast("double")
                 >= F.lit(threshold) * F.greatest(na, nb))
-    return (a.join(b, "_block")
+    return (a.join(b, ["_block", "_pb"])
             .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
             .select("id_a", "id_b",
                     (inter.cast("double") / union).alias("jaccard"))
