@@ -613,6 +613,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("hamming"))
                 .orderBy("id_a", "id_b"))
 
+    def q45_ann_join(spark, sf):
+        """Batch ANN: every query row (vec_id < 4) against the corpus via
+        sign-LSH signature equi-join + exact cosine re-rank + window
+        top-k per query.  Never a cross join; oracle-checked."""
+        e = _t(spark, sf, "embeddings")
+        queries_df = e.where("vec_id < 4")
+        return (S.pairwise_topk_join(e, queries_df, k=3,
+                                     n_planes=ANN_LSH_PLANES, dim=EMB_DIM)
+                .select("q_id", "vec_id", F.round("cos", 6).alias("cos"))
+                .orderBy("q_id", "vec_id"))
+
     def q44_word_jaccard(spark, sf):
         """Word-3-shingle Jaccard verify semantics (the minhash verify
         stage), fully native + oracle-checked."""
@@ -677,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_ann_ivf": q42_ann_ivf,
         "q43_simhash_native": q43_simhash_native,
         "q44_word_jaccard": q44_word_jaccard,
+        "q45_ann_join": q45_ann_join,
     }
 
 
@@ -1037,6 +1049,23 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cos_raw >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    # ---- q45: batch ANN join (signature equi-join + window top-k) -------
+    cos_sq = _duck_cos("s.embedding", "q.q_vec")
+    sql["q45_ann_join"] = f"""
+        WITH s AS (SELECT e.vec_id, e.embedding, {sig_e} AS sig
+                   FROM embeddings e),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, sig
+              FROM s WHERE vec_id < 4)
+        SELECT q_id, vec_id, round(cos_raw, 6) AS cos
+        FROM (SELECT q.q_id, s.vec_id, {cos_sq} AS cos_raw,
+                     row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY {cos_sq} DESC, s.vec_id) AS rk
+              FROM s JOIN q ON s.sig = q.sig AND s.vec_id != q.q_id)
+        WHERE rk <= 3
+        ORDER BY q_id, vec_id
     """
 
     # ---- q42: IVF with the fixed quantizer ------------------------------
