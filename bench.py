@@ -149,7 +149,11 @@ def run_full_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
     not just the detect+triples headline)."""
     from redactify_spark.plans import checkpoint as CP
 
-    pages = _pages(spark, sf_dir, mult).localCheckpoint()
+    # pages go through a disk-backed stage (not localCheckpoint): the
+    # synthesized corpus must not sit pinned in executor memory skewing
+    # every measurement that follows
+    pages = CP.run_stage(spark, root, "00_pages",
+                         lambda: _pages(spark, sf_dir, mult))
     n_docs = pages.count()
     t0 = time.time()
     out = CP.kg_pipeline(spark, pages, root, id_col="page_id")
@@ -191,7 +195,7 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
     standard way to report capability rather than noise."""
     from redactify_spark.plans.session import build_session
 
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     spark = build_session(f"bench-{master_cpus}",
                           master=f"local[{master_cpus}]",
                           shuffle_partitions=master_cpus)
@@ -202,9 +206,9 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
                 for _ in range(max(1, trials))]
         kg = min(runs, key=lambda r: r["sec"])
         kg["trials"] = len(runs)
+        queries = run_queries(spark, sf_dir) if with_queries else {}
         full_dag = (run_full_dag(spark, sf_dir, mult, dag_root)
                     if with_queries else {})
-        queries = run_queries(spark, sf_dir) if with_queries else {}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(dag_root, ignore_errors=True)
