@@ -624,6 +624,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("q_id", "vec_id", F.round("cos", 6).alias("cos"))
                 .orderBy("q_id", "vec_id"))
 
+    def q46_components_native(spark, sf):
+        """Connected components (the canonicalization core operator)
+        over natively-derived near-dup edges -- oracle-checked against a
+        DuckDB recursive-CTE min-label computation.  Keys are
+        zero-padded so string min == numeric min."""
+        from redactify_spark.operators.components import connected_components
+        d = _t(spark, sf, "documents")
+        pairs = D.simhash_native_pairs(d, max_hamming=10)
+        edges = pairs.select(
+            F.lpad(F.col("id_a").cast("string"), 12, "0").alias("key_a"),
+            F.lpad(F.col("id_b").cast("string"), 12, "0").alias("key_b"))
+        comp = connected_components(edges)
+        return (comp.select(F.col("node").cast("long").alias("node"),
+                            F.col("component").cast("long")
+                            .alias("component"))
+                .orderBy("node"))
+
     def q44_word_jaccard(spark, sf):
         """Word-3-shingle Jaccard verify semantics (the minhash verify
         stage), fully native + oracle-checked."""
@@ -689,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_simhash_native": q43_simhash_native,
         "q44_word_jaccard": q44_word_jaccard,
         "q45_ann_join": q45_ann_join,
+        "q46_components_native": q46_components_native,
     }
 
 
@@ -1104,8 +1122,10 @@ def oracle_sql() -> dict[str, str]:
         for b in range(SIMHASH_NATIVE_BITS))
     width = SIMHASH_NATIVE_BITS // SIMHASH_NATIVE_BANDS
     mask = (1 << width) - 1
-    sql["q43_simhash_native"] = f"""
-        WITH toks AS (
+    # CTE block yielding simhash_pairs(id_a, id_b, hamming) -- shared by
+    # q43 (pairs) and q46 (connected components over the pairs)
+    simhash_pair_ctes = f"""
+        toks AS (
             SELECT doc_id,
                    CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
                         ELSE str_split(norm, ' ') END AS tokens
@@ -1122,14 +1142,39 @@ def oracle_sql() -> dict[str, str]:
         banded AS (SELECT doc_id, simhash, b.band,
                           (simhash >> (b.band * {width})) & {mask} AS bits
                    FROM sh, (SELECT unnest(range({SIMHASH_NATIVE_BANDS}))
-                             AS band) b)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-                   AS hamming
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+                             AS band) b),
+        simhash_pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bits = b.bits
+                 AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10)
+    """
+    sql["q43_simhash_native"] = f"""
+        WITH {simhash_pair_ctes}
+        SELECT id_a, id_b, hamming FROM simhash_pairs
         ORDER BY id_a, id_b
+    """
+
+    # ---- q46: connected components over the native pair edges ------------
+    # DuckDB recursive CTE computes min-reachable-label per node -- the
+    # exact semantics of operators/components.connected_components
+    # (hash-min propagation + pointer doubling), giving the CC operator
+    # a value-exact oracle.
+    sql["q46_components_native"] = f"""
+        WITH RECURSIVE {simhash_pair_ctes},
+        sym AS (SELECT id_a AS u, id_b AS v FROM simhash_pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM simhash_pairs),
+        reach(node, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+            UNION
+            SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(label) AS BIGINT) AS component
+        FROM reach GROUP BY node ORDER BY node
     """
 
     # ---- q44: native word-shingle Jaccard (minhash verify semantics) ----

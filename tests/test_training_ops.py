@@ -256,6 +256,18 @@ def test_media_synthesis_and_features(spark):
         assert len(r.feature) == 8 and r.feat_norm > 0
 
 
+def test_media_features_golden(spark):
+    """Exact-golden gate for q40 (its synth corpus is SF-independent, so
+    the whole aggregate is one pinned 3-row table)."""
+    import __spark_entry__ as entry
+    got = {(r.kind, r.n, r.avg_norm) for r in
+           entry.queries()["q40_media_features"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got == {("audio", 67, 357.3444),
+                   ("image", 67, 357.0341),
+                   ("video", 66, 355.1287)}
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"xx", fake=False)
