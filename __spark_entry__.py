@@ -650,6 +650,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 6).alias("jaccard"))
                 .orderBy("id_a", "id_b"))
 
+    def q47_corpus_prep(spark, sf):
+        """Corpus curation first pass: exact dedup (keep min doc_id per
+        content hash) -> quality gate -> per-language token totals.
+        Fully native; oracle-checked."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        prepped = CU.corpus_prep(d, min_quality=0.6, passthrough=("lang",))
+        return (prepped.groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("total_tokens"))
+                .orderBy("lang"))
+
+    def q48_deterministic_split(spark, sf):
+        """Stable train/holdout split keyed on md5(doc_id): reproducible
+        across runs, partitionings and engines."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        return (CU.deterministic_split(d, holdout_pct=10)
+                .groupBy("split")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.min("doc_id").alias("min_id"))
+                .orderBy("split"))
+
+    def q49_token_budget_pack(spark, sf):
+        """Fill a 50k-token budget best-quality-first (two-phase global
+        cumsum: per-band window + broadcast band prefixes -- no
+        single-partition window)."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        feats = X.quality_features(d)
+        packed = CU.token_budget_pack(feats, budget=50_000)
+        return (packed.select("doc_id", "quality_score",
+                              F.col("n_tokens").cast("long")
+                              .alias("n_tokens"), "cum_tokens")
+                .orderBy("doc_id"))
+
     def q40_media_features(spark, sf):
         from redactify_spark.operators.multimodal import (extract_features,
                                                           synth_media)
@@ -707,6 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_word_jaccard": q44_word_jaccard,
         "q45_ann_join": q45_ann_join,
         "q46_components_native": q46_components_native,
+        "q47_corpus_prep": q47_corpus_prep,
+        "q48_deterministic_split": q48_deterministic_split,
+        "q49_token_budget_pack": q49_token_budget_pack,
     }
 
 
@@ -1067,6 +1106,74 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cos_raw >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    # ---- q47/q48/q49: corpus curation -----------------------------------
+    def _feat_cte(src: str, extra_cols: str = "") -> str:
+        """DuckDB CTE body mirroring textstats.quality_features over
+        `src` (same formula the q17 oracle already pins)."""
+        return f"""
+            SELECT doc_id{extra_cols}, n_tok AS n_tokens,
+                   round((CASE WHEN length(text) BETWEEN 100 AND 20000
+                               THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN CAST(len(regexp_extract_all(text,
+                                  '[^\\w\\s]')) AS DOUBLE)
+                                  / greatest(length(text), 1) <= 0.1
+                             THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN CAST(length(text) AS DOUBLE)
+                                  / greatest(n_tok, 1) BETWEEN 3.0 AND 12.0
+                             THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN CAST(n_stop AS DOUBLE)
+                                  / greatest(n_tok, 1) >= 0.01
+                             THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+            FROM (SELECT doc_id{extra_cols}, text,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\\s+'))
+                         END AS n_tok,
+                         len(regexp_extract_all(lower(text),
+                             '\\b(?:the|and|of|to|in|a|is|that|it|for)\\b'))
+                             AS n_stop
+                  FROM {src})
+        """
+
+    sql["q47_corpus_prep"] = f"""
+        WITH kept AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+        feat AS ({_feat_cte('kept', ', lang')})
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM feat WHERE quality_score >= 0.6
+        GROUP BY lang ORDER BY lang
+    """
+
+    sql["q48_deterministic_split"] = """
+        SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+        FROM (SELECT doc_id,
+                     CASE WHEN CAST('0x' || substr(md5(
+                              CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                              % 100 < 10
+                          THEN 'holdout' ELSE 'train' END AS split
+              FROM documents)
+        GROUP BY split ORDER BY split
+    """
+
+    sql["q49_token_budget_pack"] = f"""
+        WITH feat AS ({_feat_cte('documents')}),
+        g AS (SELECT doc_id, quality_score, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         ORDER BY quality_score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum_tokens
+              FROM feat)
+        SELECT doc_id, quality_score,
+               CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+        FROM g WHERE cum_tokens <= 50000
+        ORDER BY doc_id
     """
 
     # ---- q45: batch ANN join (signature equi-join + window top-k) -------

@@ -1,0 +1,81 @@
+"""Corpus curation operators: the last mile of a training-data pipeline
+(dedup -> quality gate -> split -> token-budget packing), all expressed
+with native Spark SQL functions so whole-stage codegen applies and every
+operator is DuckDB-oracle-checkable.
+
+Scale notes:
+- deterministic_split hashes the id (md5 prefix), so the split is stable
+  across runs/partitionings and needs no stored assignment table;
+- token_budget_pack needs a GLOBAL ordered cumulative sum, which a bare
+  Window.orderBy would compute on a single partition (the classic
+  scale-killer).  Instead it runs the two-phase prefix pattern: cumsum
+  WITHIN each quality band (a partitioned window), plus a per-band
+  prefix offset computed from the tiny band-totals table (broadcast
+  join).  The global sort never happens; the widest shuffle is keyed by
+  (band, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def deterministic_split(docs: DataFrame, holdout_pct: int = 10,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Add a stable 'split' column ('holdout' for ~holdout_pct% of rows,
+    'train' otherwise) keyed on md5(id): reproducible across runs,
+    partitionings and engines -- no RNG, no stored assignment table."""
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
+                     16, 10).cast("int") % 100)
+    return docs.withColumn(
+        "split", F.when(bucket < holdout_pct, F.lit("holdout"))
+                  .otherwise(F.lit("train")))
+
+
+def corpus_prep(docs: DataFrame, text_col: str = "text",
+                min_quality: float = 0.6,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Exact-dedup (keep min doc_id per content hash) then quality-gate:
+    the standard first pass of corpus curation, fully native."""
+    from redactify_spark.operators.textstats import quality_features
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    deduped = (docs.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    return (quality_features(deduped, text_col, passthrough)
+            .where(F.col("quality_score") >= min_quality))
+
+
+def token_budget_pack(docs: DataFrame, budget: int,
+                      quality_col: str = "quality_score",
+                      token_col: str = "n_tokens",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fill a token budget best-quality-first: keep documents in
+    (quality desc, id asc) order while the running token total stays
+    within `budget`.
+
+    Two-phase global cumsum (no single-partition window):
+      1. within-band cumsum: window partitioned by the quality band,
+         ordered by id -- distributes across bands;
+      2. band prefix: total tokens per band, cumulated over the tiny
+         distinct-band table (driver-scale; broadcast back).
+    Keep iff prefix + within-band cumsum <= budget."""
+    w_in = (Window.partitionBy(quality_col).orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_cum = docs.withColumn("_cum_in",
+                               F.sum(token_col).over(w_in).cast("long"))
+    band_totals = (docs.groupBy(quality_col)
+                   .agg(F.sum(token_col).cast("long").alias("_band_total")))
+    # the band table is tiny (distinct quality scores); a window over it
+    # is driver-scale and its result broadcasts back to the data
+    w_band = (Window.orderBy(F.col(quality_col).desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefixes = band_totals.withColumn(
+        "_prefix", F.coalesce(F.sum("_band_total").over(w_band),
+                              F.lit(0)).cast("long")).drop("_band_total")
+    return (with_cum.join(F.broadcast(prefixes), quality_col)
+            .withColumn("cum_tokens",
+                        (F.col("_prefix") + F.col("_cum_in")).cast("long"))
+            .where(F.col("cum_tokens") <= budget)
+            .drop("_cum_in", "_prefix"))

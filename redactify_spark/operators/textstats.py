@@ -52,9 +52,11 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
         text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality features + a composite score in [0,1]:
-    length band, punctuation ratio, stopword ratio, mean token length."""
+    length band, punctuation ratio, stopword ratio, mean token length.
+    `passthrough` columns are carried into the output projection."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count_expr(t)
@@ -73,7 +75,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
                  F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0)))
     return docs.select(
-        "doc_id",
+        "doc_id", *passthrough,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),

@@ -1,0 +1,79 @@
+"""Corpus curation operators: deterministic split, dedup+quality prep,
+token-budget packing (two-phase global cumsum)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactify_spark.operators import curation as CU
+
+
+def test_split_deterministic_and_proportional(spark):
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.split) for r in
+         CU.deterministic_split(docs, holdout_pct=10).collect()}
+    b = {(r.doc_id, r.split) for r in
+         CU.deterministic_split(docs.repartition(17),
+                                holdout_pct=10).collect()}
+    assert a == b, "split depends on partitioning"
+    n_hold = sum(1 for _, s in a if s == "holdout")
+    assert 0.07 < n_hold / 5000 < 0.13   # ~10%, md5-uniform
+    # pct=0 -> all train; pct=100 -> all holdout
+    assert {r.split for r in
+            CU.deterministic_split(docs, 0).select("split")
+            .distinct().collect()} == {"train"}
+
+
+def test_corpus_prep_dedups_and_gates(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5  # quality 1.0
+    rows = [(0, good, "s"), (1, good, "s"),        # exact dups: keep 0
+            (2, "tiny", "s"),                      # fails length band
+            (3, good + "unique tail", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r.doc_id for r in CU.corpus_prep(docs, min_quality=0.6).collect()}
+    assert kept == {0, 3}
+
+
+def test_token_budget_pack_matches_naive(spark):
+    """Two-phase prefix cumsum == the naive single-window global cumsum
+    (computed driver-side), including the band-boundary rows."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, round(rng.choice([0.2, 0.4, 0.6, 0.8, 1.0]), 2),
+             rng.randrange(10, 200)) for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_tokens long")
+    budget = 8000
+    got = {(r.doc_id, r.cum_tokens) for r in
+           CU.token_budget_pack(docs, budget).collect()}
+    # naive: global (quality desc, id asc) running sum
+    cum, want = 0, set()
+    for i, q, t in sorted(rows, key=lambda x: (-x[1], x[0])):
+        cum += t
+        if cum <= budget:
+            want.add((i, cum))
+    assert got == want
+    assert want  # budget admits some rows
+    assert len(want) < len(rows)  # ...but not all
+
+
+def test_token_budget_pack_plan_no_single_partition_window(spark):
+    """The global cumsum must NOT plan a single-partition window: every
+    Window node keyed by the data must carry a partition spec."""
+    import contextlib
+    import io
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 / 10 + 0.5).alias("quality_score"),
+        F.lit(10).alias("n_tokens"))
+    packed = CU.token_budget_pack(docs, 400)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packed.explain("formatted")
+    plan = buf.getvalue()
+    # the data-sized running sum is a window PARTITIONED by the band
+    # (windowspecdefinition(quality_score..., doc_id ...))
+    assert any("windowspecdefinition(quality_score" in ln and "doc_id" in ln
+               for ln in plan.splitlines()), plan
+    # exactly one SinglePartition exchange exists, and it only feeds the
+    # tiny distinct-band prefix table -- never the data
+    assert plan.count("SinglePartition") == 1, plan
