@@ -341,9 +341,11 @@ def _dea_valid(s: str) -> bool:
 # a context term appears nearby (+0.35, Presidio's context enhancer).
 _PRESIDIO_RULES: list[dict] = [
     dict(type="EMAIL_ADDRESS", score=1.0,
-         pat=re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")),
+         pat=re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"),
+         prefilter=("@",)),
     dict(type="URL", score=0.85,
-         pat=re.compile(r"\bhttps?://[A-Za-z0-9.\-]+(?:/[^\s]*)?")),
+         pat=re.compile(r"\bhttps?://[A-Za-z0-9.\-]+(?:/[^\s]*)?"),
+         prefilter=("http",)),
     dict(type="IP_ADDRESS", score=0.95,
          pat=re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
          validator=_valid_ip),
@@ -393,6 +395,9 @@ def detect_presidio(text: str) -> list[dict]:
     out = []
     tl = text.lower()
     for rule in _PRESIDIO_RULES:
+        pf = rule.get("prefilter")
+        if ENABLE_PREFILTERS and pf and not any(l in tl for l in pf):
+            continue  # necessary literal absent -> the regex cannot hit
         validator = rule.get("validator")
         ctx_terms = rule.get("context")
         for m in rule["pat"].finditer(text):
@@ -422,7 +427,13 @@ def detect_presidio(text: str) -> list[dict]:
 def detect_contextual(text: str) -> list[dict]:
     out = []
     window = C.ENGINE_CONFIG["context_window"]
+    text_lower = text.lower() if ENABLE_PREFILTERS else ""
     for pat, _name, etype in _AMBIGUOUS_COMPANY_RES:
+        # substring prefilter: the company-name regex is \b<literal>\b
+        # (IGNORECASE), so a miss on the lowercase substring is a miss
+        # on the regex -- skips 9 regex scans on the common no-hit path
+        if ENABLE_PREFILTERS and _name.lower() not in text_lower:
+            continue
         for m in pat.finditer(text):
             start, end = m.span()
             ctx = text[max(0, start - window):min(len(text), end + window)].lower()

@@ -50,6 +50,25 @@ def content_hash(df: DataFrame) -> int:
     return int(out or 0) % (1 << 61)
 
 
+def stage_manifest_stats(spark: SparkSession, path: str) -> dict:
+    """row_count + content_hash + per-file lineage counts in ONE scan:
+    group by input file, sum per-file row hashes and counts, fold on the
+    driver.  (Separate count()/hash/per-file actions would re-scan the
+    stage table three times -- measurable manifest overhead when every
+    DAG stage checkpoints.)"""
+    df = spark.read.parquet(path)
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    rows = (df.select(F.input_file_name().alias("file"),
+                      F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+            .groupBy("file")
+            .agg(F.count("*").alias("n"), F.sum("h").alias("s"))
+            .collect())
+    total = sum(r.n for r in rows)
+    h = int(sum(int(r.s) for r in rows if r.s is not None)) % (1 << 61)
+    return {"row_count": total, "content_hash": h,
+            "partitions": {os.path.basename(r.file): r.n for r in rows}}
+
+
 def partition_counts(spark: SparkSession, path: str) -> dict[str, int]:
     """Row count per parquet file (the per-partition lineage record)."""
     df = spark.read.parquet(path)
@@ -93,14 +112,13 @@ def run_stage(spark: SparkSession, root: str, stage: str,
     os.replace(tmp, data)
 
     persisted = spark.read.parquet(data)
+    stats = stage_manifest_stats(spark, data)
     manifest = {
         "stage": stage,
         "status": "complete",
-        "row_count": persisted.count(),
-        "content_hash": content_hash(persisted),
         "schema": persisted.schema.simpleString(),
         "wall_time_sec": round(time.time() - t0, 3),
-        "partitions": partition_counts(spark, data),
+        **stats,
     }
     mp = _manifest_path(root, stage)
     with open(mp + ".tmp", "w") as f:

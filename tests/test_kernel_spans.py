@@ -264,6 +264,11 @@ def test_prefilter_equivalence():
         "select text from read_parquet("
         "'/root/testdata/sf0.001/documents.parquet') limit 60").fetchall()]
     corpus += [
+        # contextual-company + presidio prefilter hit/miss shapes
+        "google announced earnings for the company and its ceo",
+        "no ambiguous names and no contacts in this line",
+        "shell Corp office and apple inc corporation hq",
+        "mail me: a@b.co via HTTP://X.example today",
         "password: hunter2! CVV: 123 routing 123456789 ip 1.2.3.4",
         "MAC 00:1B:44:11:3A:B7 at 2024-01-01T10:00:00 exp 11/26",
         "api_key: AbCdEf123456 ghp_aaaabbbbccccdddd11 session key xyz",
