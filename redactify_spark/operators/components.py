@@ -29,16 +29,28 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame,
                          src: str = "key_a", dst: str = "key_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         reliable_checkpoint: bool = False) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     `edges` is undirected input (one row per pair, either order).
+
+    Lineage is cut each round.  Default: localCheckpoint (executor
+    block storage -- fastest; lost on executor death, Spark then
+    recomputes the cut plan which is fine at this graph's size).  Set
+    reliable_checkpoint=True on a real cluster with a configured
+    `spark.sparkContext.setCheckpointDir` to cut to fault-tolerant
+    storage instead (the right call when a round's labels are expensive
+    to recompute at 10^9+ nodes).
     """
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))
            .dropDuplicates(["u", "v"]))
-    sym = sym.localCheckpoint()
+    sym = cut(sym)
 
     labels = (sym.select(F.col("u").alias("node"))
               .distinct()
@@ -67,7 +79,7 @@ def connected_components(edges: DataFrame,
                                       F.coalesce(F.col("grand"),
                                                  F.col("component")))
                               .alias("component")))
-        new_labels = new_labels.localCheckpoint()
+        new_labels = cut(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))

@@ -168,6 +168,21 @@ def test_cc_long_chain_converges_fast(spark):
     assert len(got) == 1 and len(got[0]) == 101
 
 
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True cuts lineage to the configured
+    checkpoint dir (the multi-executor fault-tolerance path) and yields
+    the same components."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    edges = spark.createDataFrame(pairs, "key_a string, key_b string")
+    rows = connected_components(edges, reliable_checkpoint=True).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, set()).add(r.node)
+    assert sorted(sorted(v) for v in comps.values()) == [
+        ["a", "b", "c"], ["x", "y"]]
+
+
 def test_cc_nonconvergence_raises(spark):
     from redactify_spark.operators.components import connected_components
     edges = spark.createDataFrame(
