@@ -56,6 +56,36 @@ def windowed_mention_counts(pages_stream: DataFrame,
                     "entity_group", "n_mentions"))
 
 
+def stream_triples(spark: SparkSession, src_dir: str, out_dir: str,
+                   checkpoint_dir: str, id_col: str = "url"):
+    """Continuous-crawl KG ingestion: pages stream -> detection ->
+    per-micro-batch triple extraction -> append-mode parquet (Iceberg
+    append on a real deployment) via foreachBatch.
+
+    Semantics: a page's mentions all arrive in the page's own batch
+    (file source delivers whole files; a page is one row), and triple
+    extraction is per-document, so batch-by-batch all_triples equals
+    the batch job's output over the union of inputs -- asserted by
+    tests/test_streaming.py::test_stream_triples_matches_batch.  Source
+    progress rides the checkpoint, so restarts process only new files;
+    foreachBatch file appends are at-least-once on mid-batch crashes
+    (Iceberg's transactional append, or dedup on (subj,pred,obj,
+    prov_doc), restores exactly-once downstream)."""
+    from redactify_spark.operators.triples import all_triples
+
+    mentions = stream_mentions(stream_pages(spark, src_dir),
+                               id_col=id_col).drop("warc_ts")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (all_triples(batch_df, id_col=id_col)
+         .write.mode("append").parquet(out_dir))
+
+    return (mentions.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str,
                        output_mode: str = "append"):
     """Drive a stream into an in-memory table (tests); production sinks

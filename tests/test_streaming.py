@@ -68,6 +68,33 @@ def test_stateful_entity_registry(spark, pages_dir, tmp_path):
     assert set(keys) == expected_keys
 
 
+def test_stream_triples_matches_batch(spark, pages_dir, tmp_path):
+    """Streaming triple ingestion (foreachBatch append) over several
+    micro-batches equals the batch pipeline over the same pages; a
+    restart with a new tranche appends only the new pages' triples."""
+    from redactify_spark.operators.triples import all_triples
+
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "triples_ckpt")
+    q = DS.stream_triples(spark, pages_dir, out, ckpt)
+    q.awaitTermination(180)
+    got = {tuple(r) for r in
+           spark.read.parquet(out)
+           .select("subj", "pred", "obj", "prov_doc").collect()}
+    batch = all_triples(
+        detect_mentions(spark.read.parquet(pages_dir),
+                        id_col="url", text_col="text"), id_col="url")
+    want = {tuple(r) for r in
+            batch.select("subj", "pred", "obj", "prov_doc").collect()}
+    assert got == want and got
+
+    # restart with no new files: nothing is reprocessed or re-appended
+    n_before = spark.read.parquet(out).count()
+    q2 = DS.stream_triples(spark, pages_dir, out, ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_before
+
+
 def test_stateful_registry_survives_restart(spark, tmp_path):
     """State-store recovery: stop the registry stream after the first
     tranche of files, append a second tranche, RESTART from the same
