@@ -533,12 +533,35 @@ def _gazetteer_ner(text: str) -> list[dict]:
     return out
 
 
-_NER_BACKEND = None  # optional plug-in: Callable[[str], list[dict]]
+_NER_BACKEND = None        # optional plug-in: Callable[[str], list[dict]]
+_NER_BATCH_BACKEND = None  # optional: Callable[[list[str]], list[list[dict]]]
 
 
 def set_ner_backend(fn) -> None:
     global _NER_BACKEND
     _NER_BACKEND = fn
+
+
+def set_ner_batch_backend(fn) -> None:
+    """Register a BATCHED general-NER backend (one call per Arrow batch
+    of texts -- the shape transformer inference wants: the HF pipeline
+    amortizes tokenization + forward passes across the whole list).
+    The Spark detection stage calls `general_raw_batch` once per pandas
+    batch and threads the per-text results through detect_document, so
+    model inference is batch-vectorized while the regex/post-processing
+    kernel stays per-document."""
+    global _NER_BATCH_BACKEND
+    _NER_BATCH_BACKEND = fn
+
+
+def general_raw_batch(texts: list[str]) -> Optional[list[list[dict]]]:
+    """Batched general-NER results (validated spans) for a list of
+    texts, or None when no batch backend is registered (the per-doc
+    path then runs inside detect_document as usual)."""
+    if _NER_BATCH_BACKEND is None:
+        return None
+    return [_validate_general(t, raw)
+            for t, raw in zip(texts, _NER_BATCH_BACKEND(texts))]
 
 
 def try_load_hf_backend(model_name: str =
@@ -561,24 +584,29 @@ def try_load_hf_backend(model_name: str =
     nlp = pipeline("ner", model=model_name, aggregation_strategy="simple",
                    device=-1)
 
+    def _conv(items) -> list[dict]:
+        return [{
+            "entity_group": str(it.get("entity_group", "UNKNOWN")),
+            "start": int(it.get("start", 0)),
+            "end": int(it.get("end", 0)),
+            "score": float(it.get("score", 0.0)),
+            "word": it.get("word", ""),
+        } for it in items]
+
     def backend(text: str) -> list[dict]:
-        out = []
-        for item in nlp(text):
-            out.append({
-                "entity_group": str(item.get("entity_group", "UNKNOWN")),
-                "start": int(item.get("start", 0)),
-                "end": int(item.get("end", 0)),
-                "score": float(item.get("score", 0.0)),
-                "word": item.get("word", ""),
-            })
-        return out
+        return _conv(nlp(text))
+
+    def batch_backend(texts: list[str]) -> list[list[dict]]:
+        # HF pipelines accept a list: tokenization + forward passes are
+        # batched across the whole Arrow batch (the north-star shape)
+        return [_conv(items) for items in nlp(list(texts), batch_size=32)]
 
     set_ner_backend(backend)
+    set_ner_batch_backend(batch_backend)
     return True
 
 
-def _run_general_model(text: str) -> list[dict]:
-    raw = (_NER_BACKEND or _gazetteer_ner)(text)
+def _validate_general(text: str, raw: list[dict]) -> list[dict]:
     out = []
     for e in raw:
         s, en = int(e.get("start", 0)), int(e.get("end", 0))
@@ -587,6 +615,10 @@ def _run_general_model(text: str) -> list[dict]:
         out.append({**e, "start": s, "end": en,
                     "score": float(e.get("score", 0.0))})
     return out
+
+
+def _run_general_model(text: str) -> list[dict]:
+    return _validate_general(text, (_NER_BACKEND or _gazetteer_ner)(text))
 
 
 _MEDICAL_TERM_RE = re.compile(
@@ -730,11 +762,13 @@ def remove_overlaps_by_score(entities: list[dict]) -> list[dict]:
     return sorted(kept, key=lambda x: x["start"])
 
 
-def _run_pii_specialized(text: str) -> list[dict]:
+def _run_pii_specialized(text: str,
+                         general_raw: Optional[list[dict]] = None) -> list[dict]:
     """D9: model pass (mapped via _map_pii_entity_type) + pattern bank,
     then per-model overlap removal."""
     results = []
-    for e in _run_general_model(text):
+    for e in (general_raw if general_raw is not None
+              else _run_general_model(text)):
         label = e["entity_group"].upper().strip()
         mapped = {"PERSON": "PERSON", "PER": "PERSON",
                   "ORGANIZATION": "ORGANIZATION", "ORG": "ORGANIZATION",
@@ -756,13 +790,16 @@ def _run_pii_specialized(text: str) -> list[dict]:
 # (server/detection_engine.py:366-431)
 # ---------------------------------------------------------------------------
 
-def _model_entities(text: str, model_name: str) -> list[dict]:
+def _model_entities(text: str, model_name: str,
+                    general_raw: Optional[list[dict]] = None) -> list[dict]:
     if model_name == "general":
-        raw = [{**e, "detector": None} for e in _run_general_model(text)]
+        raw = [{**e, "detector": None}
+               for e in (general_raw if general_raw is not None
+                         else _run_general_model(text))]
     elif model_name == "medical":
         raw = [{**e, "detector": None} for e in _run_medical_model(text)]
     elif model_name == "pii_specialized":
-        raw = _run_pii_specialized(text)
+        raw = _run_pii_specialized(text, general_raw)
     elif model_name in ("technical", "legal", "financial"):
         from redactify_spark.detect import specialists
         raw = {"technical": specialists.detect_technical,
@@ -898,9 +935,15 @@ def normalize_full(etype: str) -> Optional[str]:
 
 def detect_document(text: str,
                     options: Optional[dict[str, bool]] = None,
-                    domains: Optional[list[str]] = None) -> list[dict]:
+                    domains: Optional[list[str]] = None,
+                    general_raw: Optional[list[dict]] = None) -> list[dict]:
     """Reproduce `_detect_entities_single` + server normalization for one
-    document.  Detector order pinned (see module docstring)."""
+    document.  Detector order pinned (see module docstring).
+
+    `general_raw`: pre-computed (validated) general-NER spans for this
+    text, supplied by the Spark stage when a BATCHED backend is
+    registered (set_ner_batch_backend) -- model inference then runs once
+    per Arrow batch instead of once per document."""
     if not text:
         return []
     if domains is None:
@@ -910,7 +953,7 @@ def detect_document(text: str,
     all_entities.extend(detect_regex(text))
     if C.ENGINE_CONFIG["enable_context_detection"]:
         all_entities.extend(detect_contextual(text))
-    all_entities.extend(_model_entities(text, "general"))
+    all_entities.extend(_model_entities(text, "general", general_raw))
     if "medical" in domains and C.ENGINE_CONFIG["enable_medical_pii"]:
         all_entities.extend(_model_entities(text, "medical"))
     # D10-D12: disabled by default like the reference's live config
@@ -922,7 +965,8 @@ def detect_document(text: str,
     if "financial" in domains and C.ENGINE_CONFIG["enable_financial_ner"]:
         all_entities.extend(_model_entities(text, "financial"))
     if C.ENGINE_CONFIG["enable_pii_specialized"]:
-        all_entities.extend(_model_entities(text, "pii_specialized"))
+        all_entities.extend(_model_entities(text, "pii_specialized",
+                                            general_raw))
     if C.ENGINE_CONFIG["enable_fallback_name_detector"]:
         all_entities.extend(detect_fallback_names(text, all_entities))
     processed = post_process(all_entities, text)
@@ -933,11 +977,16 @@ def detect_document(text: str,
 def detect_batch(texts: Iterable[str],
                  options: Optional[dict[str, bool]] = None) -> list[list[dict]]:
     """Batch variant; per-text failures degrade to an empty mention list
-    (mirrors server/detection_engine.py:202-207)."""
+    (mirrors server/detection_engine.py:202-207).  Uses the batched NER
+    backend for the whole list when one is registered."""
+    texts = [t or "" for t in texts]
+    batch_raw = general_raw_batch(texts)
     out = []
-    for t in texts:
+    for i, t in enumerate(texts):
         try:
-            out.append(detect_document(t or "", options))
+            out.append(detect_document(
+                t, options,
+                general_raw=batch_raw[i] if batch_raw else None))
         except Exception:
             out.append([])
     return out

@@ -75,11 +75,16 @@ def detect_mentions(df: DataFrame,
         from redactify_spark.detect import kernel
 
         for pdf in batches:
-            rows = pdf[text_col].tolist()
+            rows = [t or "" for t in pdf[text_col].tolist()]
             keeps = {c: pdf[c].tolist() for c in keep}
             rec: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            # when a batched NER backend is registered (transformer
+            # inference), run it ONCE for the whole Arrow batch
+            batch_raw = kernel.general_raw_batch(rows)
             for i, text in enumerate(rows):
-                for m in kernel.detect_document(text or "", captured_options):
+                for m in kernel.detect_document(
+                        text, captured_options,
+                        general_raw=batch_raw[i] if batch_raw else None):
                     surface = m.get("entity_text", "")
                     etype = m["entity_group"]
                     for c in keep:
@@ -120,8 +125,13 @@ def anonymize_documents(df: DataFrame,
 
         for pdf in batches:
             ids, out_text, n_ents = [], [], []
-            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                ms = kernel.detect_document(text or "", captured_options)
+            texts = [t or "" for t in pdf[text_col].tolist()]
+            batch_raw = kernel.general_raw_batch(texts)
+            for i, (doc_id, text) in enumerate(zip(pdf[id_col].tolist(),
+                                                   texts)):
+                ms = kernel.detect_document(
+                    text, captured_options,
+                    general_raw=batch_raw[i] if batch_raw else None)
                 ids.append(doc_id)
                 out_text.append(anon.anonymize_text(text or "", ms, strategy,
                                                     preserve_format))

@@ -308,6 +308,51 @@ def test_hf_backend_gate():
     # deterministic gazetteer stays active
     assert kernel.try_load_hf_backend() is False
     assert kernel._NER_BACKEND is None
+    assert kernel._NER_BATCH_BACKEND is None
+
+
+def test_batched_ner_backend_parity(spark):
+    """With a BATCHED general-NER backend registered (the transformer
+    inference shape: one model call per Arrow batch of texts), the
+    detection output must be identical to the per-document path --
+    both at the kernel level (detect_batch) and through the Spark UDTF
+    (mapInPandas calls general_raw_batch once per pandas batch)."""
+    from redactify_spark.detect import kernel
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.sources.pages import synth_pages, synth_text
+
+    def batch_backend(texts):
+        # the gazetteer default wrapped as a batched call: the wrapper
+        # must reproduce the per-doc backend bit-for-bit
+        return [kernel._gazetteer_ner(t) for t in texts]
+
+    texts = [synth_text(i) for i in range(24)] + ["no entities", ""]
+    try:
+        kernel.set_ner_batch_backend(batch_backend)
+        with_batch = kernel.detect_batch(texts)
+        kernel.set_ner_batch_backend(None)
+        without = kernel.detect_batch(texts)
+        assert with_batch == without
+
+        # Spark-level: the UDTF threads general_raw through untouched
+        pages = synth_pages(spark, 24, partitions=2).localCheckpoint()
+
+        def rows(df):
+            return {tuple(r) for r in df.select(
+                "url", "entity_group", "start", "end", "score",
+                "detector", "pseudo_key").collect()}
+
+        base = rows(detect_mentions(pages, id_col="url", text_col="text"))
+        kernel.set_ner_batch_backend(batch_backend)
+        # python workers are separate processes: a DRIVER-side
+        # registration must not perturb the Spark output (production
+        # registers inside the worker via the mapInPandas prologue, the
+        # same hook try_load_hf_backend documents; the batch-path value
+        # parity itself is pinned by the kernel-level assert above)
+        assert rows(detect_mentions(pages, id_col="url",
+                                    text_col="text")) == base
+    finally:
+        kernel.set_ner_batch_backend(None)
 
 
 # --- IVF ANN -----------------------------------------------------------------
