@@ -106,3 +106,22 @@ def test_word_window_matches_slice_split(text, a, b):
         finally:
             C.ENGINE_CONFIG["context_window"] = old
         assert fast == slow, (text, span_start, span_end, ctx, fast, slow)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_native_tokens_match_normalize_surface_ascii(text):
+    """The q43/q44 native tokenizer (ASCII regex) must equal the Python
+    kernel's normalize_surface().split() on ASCII inputs -- the claim
+    that the native word-shingle Jaccard IS the minhash verify-stage
+    semantics rests on this (the documented divergence is unicode-only).
+    Pure-python re-implementation of the Spark/DuckDB expression:
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')).split(' ')."""
+    import re
+
+    from redactify_spark.operators.linking import normalize_surface
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    native = norm.split(" ") if norm else []
+    python = normalize_surface(text).split()
+    assert native == python, (text, native, python)
