@@ -207,8 +207,16 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
         kg = min(runs, key=lambda r: r["sec"])
         kg["trials"] = len(runs)
         queries = run_queries(spark, sf_dir) if with_queries else {}
-        full_dag = (run_full_dag(spark, sf_dir, mult, dag_root)
-                    if with_queries else {})
+        full_dag = {}
+        if with_queries:
+            # best-of-2 with fresh checkpoint roots (a reused root would
+            # resume instantly and measure nothing)
+            dag_runs = []
+            for i in range(2):
+                root_i = os.path.join(dag_root, f"run{i}")
+                dag_runs.append(run_full_dag(spark, sf_dir, mult, root_i))
+                shutil.rmtree(root_i, ignore_errors=True)
+            full_dag = min(dag_runs, key=lambda r: r["sec"])
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(dag_root, ignore_errors=True)
