@@ -75,6 +75,32 @@ def test_anonymize_documents_stage(spark, pages_df):
         assert "@" not in r.anonymized_text or "[EMAIL_ADDRESS-" in r.anonymized_text
 
 
+def test_unicode_and_null_texts_through_udtf(spark):
+    """Non-ASCII text and null/empty rows must flow through the Arrow
+    UDTF without error, with character offsets identical to the pure
+    kernel (Python str indices, not bytes)."""
+    rows = [
+        (0, "Müller schreibt an test@beispiel.de über die Rechnung."),
+        (1, "日本語テキスト contact admin@example.jp phone 555-123-4567"),
+        (2, None),
+        (3, ""),
+        (4, "héllo wörld no entities"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in detect_mentions(df, id_col="doc_id", text_col="text").collect():
+        got.setdefault(r.doc_id, set()).add(
+            (r.entity_group, r.start, r.end, r.surface))
+    for doc_id, text in rows:
+        want = {(m["entity_group"], m["start"], m["end"], m["entity_text"])
+                for m in kernel.detect_document(text or "")}
+        assert got.get(doc_id, set()) == want, doc_id
+    # offsets index the unicode string: the surface slice matches
+    for doc_id, text in rows:
+        for (_, s, e, surface) in got.get(doc_id, set()):
+            assert (text or "")[s:e] == surface
+
+
 def test_mentions_schema(mentions_df):
     names = [f.name for f in mentions_df.schema.fields]
     assert names == ["url", "entity_group", "start", "end", "score",
