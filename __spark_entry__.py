@@ -424,6 +424,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n", "total")
                 .orderBy("status", "priority"))
 
+    def q50_cube(spark, sf):
+        """CUBE grouping sets over orders (SURVEY §2.5 grouping sets;
+        complements the q23 rollup)."""
+        o = _t(spark, sf, "orders")
+        return (o.cube("o_orderstatus", "o_orderpriority")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                        .alias("status"),
+                        F.coalesce("o_orderpriority", F.lit("ALL"))
+                        .alias("priority"),
+                        "n", "total")
+                .orderBy("status", "priority"))
+
+    def q51_rank_functions(spark, sf):
+        """Window ranking family: rank / dense_rank / ntile over the
+        per-customer order-price ordering (SURVEY §2.5 windows)."""
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        return (o.select("o_custkey", "o_orderkey",
+                         F.rank().over(w).cast("long").alias("rnk"),
+                         F.dense_rank().over(w).cast("long").alias("drnk"),
+                         F.ntile(4).over(w).cast("long").alias("quartile"))
+                .where(F.col("rnk") <= 3)
+                .orderBy("o_custkey", "rnk", "o_orderkey"))
+
     def q24_distinct_metrics(spark, sf):
         """Metrics aggregations: exact distinct counts per dimension
         (the reference's response metadata counters, server.py:211-216)."""
@@ -746,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_corpus_prep": q47_corpus_prep,
         "q48_deterministic_split": q48_deterministic_split,
         "q49_token_budget_pack": q49_token_budget_pack,
+        "q50_cube": q50_cube,
+        "q51_rank_functions": q51_rank_functions,
     }
 
 
@@ -1106,6 +1135,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cos_raw >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    sql["q50_cube"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """
+
+    sql["q51_rank_functions"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(rnk AS BIGINT) AS rnk,
+               CAST(drnk AS BIGINT) AS drnk,
+               CAST(quartile AS BIGINT) AS quartile
+        FROM (SELECT o_custkey, o_orderkey,
+                     rank() OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     ntile(4) OVER w AS quartile
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rnk <= 3
+        ORDER BY o_custkey, rnk, o_orderkey
     """
 
     # ---- q47/q48/q49: corpus curation -----------------------------------
