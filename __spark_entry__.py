@@ -424,6 +424,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n", "total")
                 .orderBy("status", "priority"))
 
+    def q52_repetition(spark, sf):
+        """Within-document repetition signals (dup line/word fractions,
+        the Gopher-rules family), aggregated per source."""
+        d = _t(spark, sf, "documents")
+        feats = X.repetition_features(d).join(d.select("doc_id", "source"),
+                                              "doc_id")
+        return (feats.groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.round(F.avg("dup_word_frac"), 6)
+                     .alias("avg_dup_word_frac"),
+                     F.round(F.max("dup_line_frac"), 6)
+                     .alias("max_dup_line_frac"))
+                .orderBy("source"))
+
+    def q53_gopher_rules(spark, sf):
+        """Gopher-style quality filter flags: per-rule pass counts."""
+        d = _t(spark, sf, "documents")
+        g = X.gopher_rules(d)
+        return g.groupBy().agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("ok_word_count").cast("long")).cast("long")
+            .alias("n_ok_word_count"),
+            F.sum(F.col("ok_mean_word_len").cast("long")).cast("long")
+            .alias("n_ok_mean_word_len"),
+            F.sum(F.col("ok_symbol_ratio").cast("long")).cast("long")
+            .alias("n_ok_symbol_ratio"),
+            F.sum(F.col("ok_repetition").cast("long")).cast("long")
+            .alias("n_ok_repetition"),
+            F.sum(F.col("gopher_pass").cast("long")).cast("long")
+            .alias("n_pass"))
+
     def q50_cube(spark, sf):
         """CUBE grouping sets over orders (SURVEY §2.5 grouping sets;
         complements the q23 rollup)."""
@@ -775,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_token_budget_pack": q49_token_budget_pack,
         "q50_cube": q50_cube,
         "q51_rank_functions": q51_rank_functions,
+        "q52_repetition": q52_repetition,
+        "q53_gopher_rules": q53_gopher_rules,
     }
 
 
@@ -1135,6 +1168,67 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.vec_id = c.id_b)
         WHERE cos_raw >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    sql["q52_repetition"] = """
+        WITH feats AS (
+            SELECT doc_id, source,
+                   list_filter(str_split(text, chr(10)),
+                               x -> length(trim(x)) > 0) AS lines,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> length(x) > 0) AS words
+            FROM documents),
+        f2 AS (
+            SELECT source,
+                   round(CASE WHEN len(words) <= 0 THEN 0.0
+                              ELSE 1.0 - CAST(len(list_distinct(words))
+                                              AS DOUBLE) / len(words)
+                         END, 6) AS dwf,
+                   round(CASE WHEN len(lines) <= 0 THEN 0.0
+                              ELSE 1.0 - CAST(len(list_distinct(lines))
+                                              AS DOUBLE) / len(lines)
+                         END, 6) AS dlf
+            FROM feats)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(dwf), 6) AS avg_dup_word_frac,
+               round(max(dlf), 6) AS max_dup_line_frac
+        FROM f2 GROUP BY source ORDER BY source
+    """
+
+    sql["q53_gopher_rules"] = """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> length(x) > 0) AS words,
+                   len(regexp_extract_all(text, '#'))
+                   + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+            FROM documents),
+        g AS (SELECT
+                  len(words) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(words,
+                       x -> length(x))), 0) AS DOUBLE)
+                      / greatest(len(words), 1) AS mwl,
+                  CAST(n_sym AS DOUBLE) / greatest(len(words), 1) AS sr,
+                  CASE WHEN len(words) <= 0 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                            / len(words) END AS dwf
+              FROM w)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok_word_count,
+               CAST(sum(CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok_mean_word_len,
+               CAST(sum(CASE WHEN sr <= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok_symbol_ratio,
+               CAST(sum(CASE WHEN dwf <= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok_repetition,
+               CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                             AND mwl >= 3.0 AND mwl <= 10.0
+                             AND sr <= 0.1 AND dwf <= 0.3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM g
     """
 
     sql["q50_cube"] = """

@@ -92,6 +92,73 @@ def fingerprint_expr(text: Column, prefix_len: int = 64) -> Column:
     return F.md5(F.substring(norm, 1, prefix_len))
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family,
+    Rae et al. 2021 'Scaling Language Models' appendix A1.1): duplicate
+    line fraction and duplicate word fraction, fully native so the
+    filter runs inside whole-stage codegen at corpus scale."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    words = F.filter(F.split(F.lower(t), r"\s+"),
+                     lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    dup_line_frac = F.when(
+        n_lines <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)).cast("double")
+        / n_lines)
+    dup_word_frac = F.when(
+        n_words <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(words)).cast("double")
+        / n_words)
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_words.cast("long").alias("n_words"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_word_frac, 6).alias("dup_word_frac"))
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_dup_word_frac: float = 0.3) -> DataFrame:
+    """Gopher-style document filter flags (public heuristics, Rae et al.
+    2021): word-count band, mean word length band, symbol-to-word ratio
+    (# and ellipsis), duplicate-word fraction.  Emits per-rule booleans
+    plus the conjunction, all native."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), r"\s+"),
+                     lambda x: F.length(x) > 0)
+    n_words = F.size(words)
+    total_chars = F.aggregate(words, F.lit(0),
+                              lambda acc, w: acc + F.length(w))
+    mean_wl = total_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    n_symbols = (F.size(F.regexp_extract_all(t, F.lit(r"#"), 0))
+                 + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)))
+    symbol_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
+    dup_word_frac = F.when(
+        n_words <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(words)).cast("double") / n_words)
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    ok_rep = dup_word_frac <= max_dup_word_frac
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_rep.alias("ok_repetition"),
+        (ok_words & ok_mwl & ok_sym & ok_rep).alias("gopher_pass"))
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass combined stats table."""
     t = F.col(text_col)

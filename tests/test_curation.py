@@ -77,3 +77,36 @@ def test_token_budget_pack_plan_no_single_partition_window(spark):
     # exactly one SinglePartition exchange exists, and it only feeds the
     # tiny distinct-band prefix table -- never the data
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_repetition_features(spark):
+    from redactify_spark.operators import textstats as X
+    rows = [
+        (0, "a b c\na b c\nd e f"),          # 1 dup line of 3
+        (1, "x y z unique words only here"),
+        (2, "w w w w"),                      # 3 dup words of 4
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.repetition_features(docs).collect()}
+    assert abs(got[0].dup_line_frac - (1 - 2 / 3)) < 1e-6
+    assert got[1].dup_word_frac == 0.0
+    assert abs(got[2].dup_word_frac - 0.75) < 1e-6
+    assert got[3].dup_line_frac == 0.0 and got[3].n_words == 0
+
+
+def test_gopher_rules(spark):
+    from redactify_spark.operators import textstats as X
+    long_ok = " ".join(f"word{i%97}xx" for i in range(120))
+    rows = [
+        (0, long_ok),                          # passes all
+        (1, "short text"),                     # fails word count
+        (2, " ".join(["same"] * 120)),         # fails repetition
+        (3, long_ok + " ###### " * 30),        # fails symbol ratio
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.gopher_rules(docs).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].ok_word_count
+    assert not got[2].ok_repetition
+    assert not got[3].ok_symbol_ratio
