@@ -53,7 +53,8 @@ def detect_mentions(df: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text",
                     options: Optional[dict[str, bool]] = None,
-                    passthrough: tuple[str, ...] = ()) -> DataFrame:
+                    passthrough: tuple[str, ...] = (),
+                    max_text_len: int | None = None) -> DataFrame:
     """Run the full reference detector chain over ``df[text_col]``.
 
     Returns one row per post-processed mention, keyed by ``id_col``;
@@ -63,7 +64,14 @@ def detect_mentions(df: DataFrame,
     python worker (pattern compilation amortized across all batches --
     mirrors the reference's startup-time compile,
     server/detection_engine.py:124-153).
-    """
+
+    ``max_text_len``: operational guard for web-scale corpora -- a
+    multi-hundred-MB adversarial page would otherwise stall one task in
+    the regex kernel and blow the Arrow batch size (maxRecordsPerBatch
+    counts rows, not bytes).  When set, texts are truncated to the first
+    ``max_text_len`` characters BEFORE detection (spans stay valid:
+    offsets index the truncated text which is a prefix of the
+    original).  Default None preserves exact reference semantics."""
     keep = [id_col, *passthrough]
     out_schema = T.StructType(
         [T.StructField(c, df.schema[c].dataType) for c in keep]
@@ -76,6 +84,8 @@ def detect_mentions(df: DataFrame,
 
         for pdf in batches:
             rows = [t or "" for t in pdf[text_col].tolist()]
+            if max_text_len is not None:
+                rows = [t[:max_text_len] for t in rows]
             keeps = {c: pdf[c].tolist() for c in keep}
             rec: dict[str, list] = {f.name: [] for f in out_schema.fields}
             # when a batched NER backend is registered (transformer

@@ -105,3 +105,15 @@ def test_mentions_schema(mentions_df):
     names = [f.name for f in mentions_df.schema.fields]
     assert names == ["url", "entity_group", "start", "end", "score",
                      "detector", "surface", "pseudo_key"]
+
+
+def test_max_text_len_guard(spark):
+    """The operational truncation guard detects only within the prefix;
+    default (None) is untouched reference semantics."""
+    text = "email early@a.co " + ("filler " * 20) + "email late@z.co"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    full = {r.surface for r in detect_mentions(df).collect()}
+    capped = {r.surface for r in
+              detect_mentions(df, max_text_len=30).collect()}
+    assert "early@a.co" in full and "late@z.co" in full
+    assert "early@a.co" in capped and "late@z.co" not in capped
