@@ -708,6 +708,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 6).alias("jaccard"))
                 .orderBy("id_a", "id_b"))
 
+    def q54_minhash_native(spark, sf):
+        """Fully-native MinHash-LSH near-dup pairs: 32 md5-derived linear
+        hashes mod 2^31-1, 16x2-row band blocking (equi-join, bucket-width
+        cap), exact gram-set Jaccard verify -- zero Python, the whole LSH
+        family oracle-checked end to end (DuckDB mirrors every stage)."""
+        d = _t(spark, sf, "documents")
+        return (D.minhash_native_pairs(d, threshold=0.5)
+                .select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+                .orderBy("id_a", "id_b"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -808,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_rank_functions": q51_rank_functions,
         "q52_repetition": q52_repetition,
         "q53_gopher_rules": q53_gopher_rules,
+        "q54_minhash_native": q54_minhash_native,
     }
 
 
@@ -1463,6 +1475,72 @@ def oracle_sql() -> dict[str, str]:
               WHERE CAST(least(len(a.g), len(b.g)) AS DOUBLE)
                     >= 0.3 * greatest(len(a.g), len(b.g)))
         WHERE jac >= 0.3
+        ORDER BY id_a, id_b
+    """
+
+    # ---- q54: fully-native MinHash-LSH -----------------------------------
+    # Mirrors operators/dedup.doc_minhash_native + minhash_native_pairs
+    # stage by stage: md5-derived gram hashes mod 2^31-1, 32 linear
+    # minhashes, 16x2 band blocking with the 64-wide bucket cap, exact
+    # gram-set Jaccard verify.
+    from redactify_spark.operators.dedup import (_MH_A, _MH_B, MAX_BUCKET,
+                                                 MINHASH_NATIVE_BANDS,
+                                                 MINHASH_NATIVE_HASHES,
+                                                 MINHASH_P)
+    mh_a = "[" + ",".join(str(a) for a in _MH_A) + "]"
+    mh_b = "[" + ",".join(str(b) for b in _MH_B) + "]"
+    sql["q54_minhash_native"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tokens) < 3
+                        THEN [array_to_string(tokens, ' ')]
+                        ELSE list_distinct(list_transform(
+                            generate_series(1, len(tokens) - 2),
+                            i -> array_to_string(
+                                list_slice(tokens, i, i + 2), ' ')))
+                   END AS g
+            FROM toks),
+        gh AS (SELECT doc_id,
+                      list_distinct(list_transform(g,
+                          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                               % {MINHASH_P})) AS gh
+               FROM grams),
+        sig AS (SELECT doc_id,
+                       list_transform(range({MINHASH_NATIVE_HASHES}),
+                           i -> list_min(list_transform(gh,
+                               x -> ({mh_a}[i+1]*x + {mh_b}[i+1])
+                                    % {MINHASH_P}))) AS sig
+                FROM gh),
+        bands0 AS (SELECT doc_id, b.band AS band,
+                          sig[2*b.band+1] AS v0, sig[2*b.band+2] AS v1
+                   FROM sig,
+                        (SELECT unnest(range({MINHASH_NATIVE_BANDS}))
+                         AS band) b),
+        bands AS (SELECT doc_id, band, v0, v1 FROM (
+                      SELECT *, count(*) OVER (PARTITION BY band, v0, v1)
+                             AS _n FROM bands0)
+                  WHERE _n <= {MAX_BUCKET}),
+        cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+                       AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, round(jac, 6) AS jaccard
+        FROM (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE)
+                     / (len(ga.gh) + len(gb.gh)
+                        - len(list_intersect(ga.gh, gb.gh))) AS jac
+              FROM cands c
+              JOIN gh ga ON ga.doc_id = c.id_a
+              JOIN gh gb ON gb.doc_id = c.id_b)
+        WHERE jac >= 0.5
         ORDER BY id_a, id_b
     """
     return sql

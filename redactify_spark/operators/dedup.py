@@ -240,17 +240,28 @@ def _native_tokens(text_col):
 
 
 def doc_simhash_native(docs: DataFrame, text_col: str = "text",
-                       n_bits: int = SIMHASH_NATIVE_BITS) -> DataFrame:
+                       n_bits: int = SIMHASH_NATIVE_BITS,
+                       persist: bool = True) -> DataFrame:
     """SimHash computed ENTIRELY with native expressions: token hash =
     first 15 md5 hex chars as int64 (conv base 16), per-bit majority of
     +/-1 via one array fold per bit.  No Python anywhere: one md5 pass
-    per token (materialized as a column so the 60 bit-folds reuse it),
-    whole-stage codegen end to end.  The scale path next to the
-    Python-kernel doc_simhash (q37), and DuckDB-mirrorable."""
+    per token, whole-stage codegen end to end.  The scale path next to
+    the Python-kernel doc_simhash (q37), and DuckDB-mirrorable.
+
+    The token-hash pass is persisted before the 60 bit-folds: without the
+    barrier, CollapseProject inlines the md5 transform into every fold
+    (a 60x recompute of the hashing pass), and the single-file local scan
+    gives the folds one task.  At warehouse scale pass persist=False and
+    checkpoint the signature table instead."""
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     hashes = F.transform(
         _native_tokens(F.col(text_col)),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    hs = docs.select("doc_id", hashes.alias("_hs"))
+    hs = (docs.repartition(n_parts, "doc_id")
+          .select("doc_id", hashes.alias("_hs")))
+    if persist:
+        hs = hs.persist()
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
         vote = F.aggregate(
@@ -258,7 +269,10 @@ def doc_simhash_native(docs: DataFrame, text_col: str = "text",
             lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1))
                                   * 2 - 1))
         sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return hs.select("doc_id", sig.alias("simhash"))
+    out = hs.select("doc_id", sig.alias("simhash"))
+    if persist:
+        out = out.persist()
+    return out
 
 
 def simhash_native_pairs(docs: DataFrame, text_col: str = "text",
@@ -290,6 +304,147 @@ def simhash_native_pairs(docs: DataFrame, text_col: str = "text",
                     .alias("hamming"))
             .dropDuplicates(["id_a", "id_b"])
             .where(F.col("hamming") <= max_hamming))
+
+
+# --- fully-native MinHash-LSH (oracle-expressible, zero Python) --------------
+
+MINHASH_P = (1 << 31) - 1      # Mersenne prime 2^31-1: a*g+b < 2^62, int64-safe
+MINHASH_NATIVE_HASHES = 32
+MINHASH_NATIVE_BANDS = 16      # 16 bands x 2 rows: P(candidate|j=0.5) ~ 0.99
+
+# deterministic linear-hash parameters (md5 of the index, like linking._A/_B
+# but reduced mod 2^31-1 so every product stays inside a signed int64 in
+# BOTH engines -- the property that makes this variant oracle-expressible)
+_MH_A = [(int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16)
+          % MINHASH_P) | 1 for i in range(MINHASH_NATIVE_HASHES)]
+_MH_B = [int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16)
+         % MINHASH_P for i in range(MINHASH_NATIVE_HASHES)]
+
+
+def _native_word_gram_hashes(text_col, k: int = 3):
+    """Distinct word-k-shingle hashes as int64 < 2^31-1, entirely native.
+
+    Gram hash = first 15 md5 hex chars mod (2^31-1): md5 is the one hash
+    both Spark and DuckDB evaluate identically, and reducing mod the
+    Mersenne prime keeps the downstream (a*g + b) % p arithmetic inside
+    int64 on both engines.  Documents with < k words contribute the single
+    joined-token gram (matching _word_shingles / the q44 oracle)."""
+    toks = _native_tokens(text_col)
+    gstr = F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "))))
+    return F.array_distinct(F.transform(
+        gstr, lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P))))
+
+
+def doc_minhash_native(docs: DataFrame, text_col: str = "text",
+                       k: int = 3,
+                       n_hashes: int = MINHASH_NATIVE_HASHES,
+                       persist: bool = True) -> DataFrame:
+    """(doc_id, gh, sig): MinHash signature computed ENTIRELY with native
+    expressions -- sig[i] = min over gram hashes g of (a_i*g + b_i) mod p.
+
+    Zero Python: one md5 pass per gram, then n_hashes array folds.  The
+    scale path next to the Python-kernel doc_minhash_bands (q36), and
+    DuckDB-mirrorable (the oracle unrolls the same math over unnest +
+    group-by).  `gh` (the distinct gram-hash set) is kept so the verify
+    stage reuses it without re-hashing.
+
+    Materialization matters here: CollapseProject would inline the
+    md5-gram expression into every one of the n_hashes folds (an
+    n_hashes-fold recompute of the hashing pass -- measured 15x slower),
+    and the pairs consumer reads the signatures three times (band
+    explode + both verify sides).  So the gram pass is persisted before
+    the folds, and the signature frame is persisted for its consumers.
+    At warehouse scale `persist=False` and write the signatures to a
+    table instead (the checkpoint pattern of plans/checkpoint.py);
+    signatures are ~100 bytes/doc, far smaller than the corpus."""
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    a_lit = F.array(*[F.lit(a) for a in _MH_A[:n_hashes]])
+    b_lit = F.array(*[F.lit(b) for b in _MH_B[:n_hashes]])
+    gh = (docs.repartition(n_parts, "doc_id")
+          .select("doc_id",
+                  _native_word_gram_hashes(F.col(text_col), k).alias("gh")))
+    if persist:
+        gh = gh.persist()
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("gh"),
+            lambda g: F.pmod(F.element_at(a_lit, i + 1) * g
+                             + F.element_at(b_lit, i + 1),
+                             F.lit(MINHASH_P)))))
+    out = gh.select("doc_id", "gh", sig.alias("sig"))
+    if persist:
+        out = out.persist()
+    return out
+
+
+def wide_minhash_bucket_count(docs: DataFrame, text_col: str = "text",
+                              k: int = 3,
+                              n_bands: int = MINHASH_NATIVE_BANDS,
+                              max_bucket: int = MAX_BUCKET) -> int:
+    """Metric: LSH buckets dropped by the width cap (no silent caps)."""
+    bands = _minhash_native_bands(doc_minhash_native(docs, text_col, k),
+                                  n_bands)
+    return (bands.groupBy("band", "v0", "v1").count()
+            .where(F.col("count") > max_bucket).count())
+
+
+def _minhash_native_bands(sigs: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, band, v0, v1): one row per 2-row LSH band."""
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.element_at("sig", 2 * b + 1).alias("v0"),
+                     F.element_at("sig", 2 * b + 2).alias("v1"))
+            for b in range(n_bands)])).alias("bb")) \
+        .select("doc_id", "bb.band", "bb.v0", "bb.v1")
+
+
+def minhash_native_pairs(docs: DataFrame, text_col: str = "text",
+                         threshold: float = 0.5, k: int = 3,
+                         n_hashes: int = MINHASH_NATIVE_HASHES,
+                         n_bands: int = MINHASH_NATIVE_BANDS,
+                         max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Near-dup pairs by fully-native MinHash-LSH: banded signature
+    equi-join for candidates, exact gram-set Jaccard verify -- the same
+    shape as minhash_dup_pairs but with zero Python, so a DuckDB oracle
+    checks the whole family end to end (q54).
+
+    Scale shape (unchanged from the Python family):
+    - candidates come from an equi-join on (band, v0, v1) -- never a
+      cross join, no blocking column required (this is what replaces the
+      per-`source` blocks of the quadratic Jaccard operators).
+    - buckets wider than `max_bucket` are dropped BEFORE the pair
+      expansion (count-over-window, same cap as linking.candidate_pairs);
+      surface the count via wide_minhash_bucket_count.
+    - verify joins the stored distinct gram-hash sets back by id (two
+      hash joins) and computes |intersect| / |union| natively."""
+    sigs = doc_minhash_native(docs, text_col, k, n_hashes)
+    bands = _minhash_native_bands(sigs, n_bands)
+    sized = bands.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "v0", "v1")))
+    narrow = sized.where(F.col("_n") <= max_bucket).drop("_n")
+    a = narrow.select("band", "v0", "v1", F.col("doc_id").alias("id_a"))
+    b = narrow.select("band", "v0", "v1", F.col("doc_id").alias("id_b"))
+    cands = (a.join(b, ["band", "v0", "v1"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+    ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("gh").alias("g_a"))
+    gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("gh").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (cands.join(ga, "id_a").join(gb, "id_b")
+            .select("id_a", "id_b",
+                    (inter.cast("double") / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
 
 
 # --- fully-native word-shingle Jaccard (the minhash VERIFY semantics) --------

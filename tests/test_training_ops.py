@@ -54,6 +54,54 @@ def test_dedup_minhash_clusters(spark, docs):
     assert {3, 4, 5} <= kept
 
 
+# --- fully-native minhash -----------------------------------------------------
+
+def test_minhash_native_sig_matches_pure_python(spark, docs):
+    """Pin the native expression math to an independent pure-Python
+    re-derivation (the same math the DuckDB oracle unrolls)."""
+    import hashlib
+    row = (D.doc_minhash_native(docs.where("doc_id = 0"))
+           .select("sig").first())
+
+    def grams_of(text):
+        import re
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        toks = norm.split(" ") if norm else []
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    gh = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D.MINHASH_P
+          for g in grams_of(base)]
+    expected = [min((D._MH_A[i] * g + D._MH_B[i]) % D.MINHASH_P for g in gh)
+                for i in range(D.MINHASH_NATIVE_HASHES)]
+    assert list(row["sig"]) == expected
+
+
+def test_minhash_native_pairs_match_exact_jaccard(spark, docs):
+    """LSH candidates + verify reproduce the exact-Jaccard answer on the
+    fixture (same pairs, same values as the Python minhash family)."""
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_native_pairs(docs, threshold=0.5).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_native_bucket_cap_fires(spark):
+    """An adversarial corpus of identical docs exceeds max_bucket: the cap
+    drops the bucket (counted, not exploded) so no pairs come back."""
+    rows = [(i, "same boilerplate text repeated on every page here")
+            for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.wide_minhash_bucket_count(d, max_bucket=8) > 0
+    assert D.minhash_native_pairs(d, threshold=0.5, max_bucket=8).count() == 0
+    # raising the cap restores all C(12,2) exact-dup pairs
+    assert D.minhash_native_pairs(d, threshold=0.5,
+                                  max_bucket=64).count() == 66
+
+
 # --- simhash ------------------------------------------------------------------
 
 def test_simhash_deterministic_and_near(spark):
