@@ -719,6 +719,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 6).alias("jaccard"))
                 .orderBy("id_a", "id_b"))
 
+    def q55_asof_join(spark, sf):
+        """As-of join (backward inclusive): every click event gains the
+        latest preceding purchase of the same user.  Union-and-sweep plan
+        (one shuffle + one sort, never a range-join pair explosion);
+        oracle = DuckDB's native ASOF LEFT JOIN."""
+        from redactify_spark.operators import temporal as TP
+        ev = _t(spark, sf, "events")
+        l = ev.where(F.col("event_type") == "click")
+        r = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "value"))
+        j = TP.asof_join(l, r, "user_id", value_cols=["value"])
+        return (j.select(
+                    "event_id", "user_id",
+                    F.round("value_asof", 2).alias("purchase_value"),
+                    (F.unix_micros(F.col("ts").cast("timestamp"))
+                     - F.unix_micros(F.col("ts_asof").cast("timestamp")))
+                    .cast("long").alias("staleness_us"))
+                .orderBy("event_id"))
+
+    def q56_sessionize(spark, sf):
+        """Gap-based sessionization (30-min inactivity): per-session
+        event count, exact microsecond duration, value total.  Two
+        window sweeps over one (user, ts) sort + a map-side-combinable
+        groupBy; oracle = the same windows in DuckDB."""
+        from redactify_spark.operators import temporal as TP
+        ev = _t(spark, sf, "events")
+        return (TP.session_stats(ev, gap_minutes=30.0)
+                .select("user_id", "session_idx",
+                        F.col("n_events").cast("long").alias("n_events"),
+                        F.col("duration_us").cast("long")
+                        .alias("duration_us"),
+                        "total_value")
+                .orderBy("user_id", "session_idx"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -820,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_repetition": q52_repetition,
         "q53_gopher_rules": q53_gopher_rules,
         "q54_minhash_native": q54_minhash_native,
+        "q55_asof_join": q55_asof_join,
+        "q56_sessionize": q56_sessionize,
     }
 
 
@@ -1542,5 +1578,45 @@ def oracle_sql() -> dict[str, str]:
               JOIN gh gb ON gb.doc_id = c.id_b)
         WHERE jac >= 0.5
         ORDER BY id_a, id_b
+    """
+
+    # ---- q55: as-of join (DuckDB native ASOF LEFT JOIN is the oracle) ----
+    sql["q55_asof_join"] = """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id,
+               round(r.value, 2) AS purchase_value,
+               CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
+                   AS staleness_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id
+    """
+
+    # ---- q56: gap-based sessionization ------------------------------------
+    sql["q56_sessionize"] = """
+        WITH gaps AS (
+            SELECT event_id, user_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+            FROM events),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(CASE WHEN prev IS NULL THEN 0
+                            WHEN epoch_us(ts) - epoch_us(prev)
+                                 > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM gaps)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                   AS duration_us,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
     """
     return sql

@@ -1,0 +1,128 @@
+"""Temporal operators: as-of join (vs pandas merge_asof) + sessionization."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redactify_spark.operators import temporal as TP
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second, micro)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    quotes = [  # (user, ts, price)
+        (1, _ts(0), 10.0),
+        (1, _ts(5), 11.0),
+        (1, _ts(5, 30), 11.5),
+        (2, _ts(3), 20.0),
+    ]
+    trades = [  # (trade_id, user, ts)
+        (0, 1, _ts(0)),        # exact tie -> inclusive match at 10.0
+        (1, 1, _ts(4, 59)),    # between -> 10.0
+        (2, 1, _ts(6)),        # after both -> 11.5
+        (3, 2, _ts(2, 59)),    # before any quote -> NULL
+        (4, 3, _ts(9)),        # key with no quotes -> NULL
+    ]
+    q = spark.createDataFrame(quotes, "user_id long, ts timestamp, price double")
+    t = spark.createDataFrame(trades, "trade_id long, user_id long, ts timestamp")
+    return t, q
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    t, q = trades_quotes
+    out = {r.trade_id: r.price_asof
+           for r in TP.asof_join(t, q, "user_id",
+                                 value_cols=["price"]).collect()}
+    assert out == {0: 10.0, 1: 10.0, 2: 11.5, 3: None, 4: None}
+
+
+def test_asof_matched_ts_exposed(spark, trades_quotes):
+    t, q = trades_quotes
+    row = (TP.asof_join(t, q, "user_id", value_cols=["price"])
+           .where("trade_id = 2").first())
+    assert row.ts_asof == _ts(5, 30)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, trades_quotes):
+    t, q = trades_quotes
+    # trade 1 is 4m59s after its match -> stale at a 60s tolerance
+    out = {r.trade_id: r.price_asof
+           for r in TP.asof_join(t, q, "user_id", value_cols=["price"],
+                                 tolerance_us=60_000_000).collect()}
+    assert out == {0: 10.0, 1: None, 2: 11.5, 3: None, 4: None}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas.merge_asof (deterministic seed)."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts = pd.DataFrame({
+        "lid": range(200),
+        "key": rng.randint(0, 5, 200),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.randint(0, 10_000, 200)],
+    })
+    rights = pd.DataFrame({
+        "key": rng.randint(0, 5, 80),
+        "ts": [base + dt.timedelta(seconds=int(s))
+               for s in rng.randint(0, 10_000, 80)],
+        "v": rng.rand(80).round(4),
+    }).drop_duplicates(["key", "ts"])  # pinned semantics need unique (key,ts)
+    expected = pd.merge_asof(
+        lefts.sort_values("ts"), rights.sort_values("ts"),
+        on="ts", by="key", direction="backward").set_index("lid")["v"]
+    l = spark.createDataFrame(lefts)
+    r = spark.createDataFrame(rights)
+    got = {row.lid: row.v_asof
+           for row in TP.asof_join(l, r, "key",
+                                   value_cols=["v"]).collect()}
+    for lid, exp in expected.items():
+        g = got[lid]
+        assert (g is None and pd.isna(exp)) or g == exp, (lid, g, exp)
+
+
+def test_asof_partition_invariant(spark, trades_quotes):
+    t, q = trades_quotes
+    a = sorted((r.trade_id, r.price_asof) for r in
+               TP.asof_join(t, q, "user_id", value_cols=["price"]).collect())
+    b = sorted((r.trade_id, r.price_asof) for r in
+               TP.asof_join(t.repartition(7), q.repartition(3),
+                            "user_id", value_cols=["price"]).collect())
+    assert a == b
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap strictly-greater semantics at the exact boundary, microsecond
+    precision: 30:00.000000 stays in-session, 30:00.000001 breaks."""
+    rows = [
+        (0, 1, _ts(0)),
+        (1, 1, _ts(30)),                 # exactly 30m -> same session
+        (2, 1, dt.datetime(2024, 1, 1, 11, 0, 0, 1)),  # 30m + 1us -> new
+        (3, 2, _ts(0)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_idx
+           for r in TP.sessionize(ev, gap_minutes=30.0).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_session_stats(spark):
+    rows = [
+        (0, 1, _ts(0), 1.0),
+        (1, 1, _ts(10), 2.0),
+        (2, 1, _ts(50), 4.0),   # 40m gap -> session 1
+        (3, 1, _ts(55), 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {(r.user_id, r.session_idx): (r.n_events, r.duration_us,
+                                        r.total_value)
+           for r in TP.session_stats(ev, gap_minutes=30.0).collect()}
+    assert out == {(1, 0): (2, 600_000_000, 3.0),
+                   (1, 1): (2, 300_000_000, 12.0)}
