@@ -753,6 +753,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "total_value")
                 .orderBy("user_id", "session_idx"))
 
+    def q57_pagerank(spark, sf):
+        """PageRank (5 power iterations, d=0.85, GraphX convention) over
+        the part co-order graph: one shuffle join + one map-side-
+        combinable agg per round, lineage cut each round.  Oracle =
+        the same five rounds unrolled as nested CTEs in DuckDB."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        ranks = G.pagerank(G.symmetrize(cooc), iterations=5)
+        return (ranks.select(F.col("node").cast("long").alias("node"),
+                             F.round("rank", 6).alias("rank"))
+                .orderBy("node"))
+
+    def q58_triangles(spark, sf):
+        """Per-node triangle counts + local clustering coefficient over
+        the part co-order graph (canonical-orientation two-path join:
+        each triangle produced exactly once)."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return (G.clustering_coefficients(cooc)
+                .select(F.col("node").cast("long").alias("node"),
+                        "degree", "n_triangles",
+                        F.round("coeff", 6).alias("coeff"))
+                .orderBy("node"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -856,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_minhash_native": q54_minhash_native,
         "q55_asof_join": q55_asof_join,
         "q56_sessionize": q56_sessionize,
+        "q57_pagerank": q57_pagerank,
+        "q58_triangles": q58_triangles,
     }
 
 
@@ -1618,5 +1646,75 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS total_value
         FROM s GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx
+    """
+
+    # ---- q57/q58: graph analytics over the part co-order graph -----------
+    # Shared CTE block: canonical (src < dst) co-occurrence edges of parts
+    # appearing in the same order, with the pair-expansion group cap
+    # mirrored from graph_algs.cooccurrence_edges.
+    from redactify_spark.operators.graph_algs import MAX_COOC_GROUP
+    cooc_ctes = f"""
+        pairs AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                  FROM lineitem),
+        sized AS (SELECT g, i FROM (
+                      SELECT g, i, count(*) OVER (PARTITION BY g) AS _n
+                      FROM pairs)
+                  WHERE _n <= {MAX_COOC_GROUP}),
+        canon AS (SELECT DISTINCT a.i AS src, b.i AS dst
+                  FROM sized a JOIN sized b
+                    ON a.g = b.g AND a.i < b.i),
+        sym AS (SELECT src, dst FROM canon
+                UNION
+                SELECT dst AS src, src AS dst FROM canon)
+    """
+
+    # five unrolled power-iteration rounds (GraphX convention:
+    # rank = (1-d) + d * sum(rank_prev/outdeg), dangling keep the base)
+    pr_d = 0.85
+    pr_rounds = ""
+    for i in range(1, 6):
+        pr_rounds += f""",
+        r{i} AS (SELECT n.node,
+                        {1.0 - pr_d} + {pr_d} * coalesce(s.x, 0.0) AS r
+                 FROM nodes n LEFT JOIN (
+                     SELECT e.dst AS node, sum(r{i-1}.r / deg.c) AS x
+                     FROM sym e
+                     JOIN deg ON deg.src = e.src
+                     JOIN r{i-1} ON r{i-1}.node = e.src
+                     GROUP BY e.dst) s ON s.node = n.node)"""
+    sql["q57_pagerank"] = f"""
+        WITH {cooc_ctes},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        deg AS (SELECT src, count(*) AS c FROM sym GROUP BY src),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes)
+        {pr_rounds}
+        SELECT CAST(node AS BIGINT) AS node, round(r, 6) AS rank
+        FROM r5 ORDER BY node
+    """
+
+    sql["q58_triangles"] = f"""
+        WITH {cooc_ctes},
+        deg AS (SELECT src AS node, count(*) AS degree
+                FROM sym GROUP BY src),
+        tri AS (SELECT e1.a, e1.b, e2.c
+                FROM (SELECT src AS a, dst AS b FROM canon) e1
+                JOIN (SELECT src AS b, dst AS c FROM canon) e2
+                  ON e1.b = e2.b
+                JOIN (SELECT src AS a, dst AS c FROM canon) e3
+                  ON e3.a = e1.a AND e3.c = e2.c),
+        corner AS (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri),
+        tcount AS (SELECT node, count(*) AS n_triangles
+                   FROM corner GROUP BY node)
+        SELECT CAST(d.node AS BIGINT) AS node,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN d.degree >= 2
+                          THEN 2.0 * coalesce(t.n_triangles, 0)
+                               / (d.degree * (d.degree - 1))
+                          ELSE 0.0 END, 6) AS coeff
+        FROM deg d LEFT JOIN tcount t ON t.node = d.node
+        ORDER BY node
     """
     return sql

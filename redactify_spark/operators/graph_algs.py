@@ -1,0 +1,198 @@
+"""Iterative / combinatorial graph analytics over KG-shaped edge tables.
+
+Companions to operators/graph.py (materialization) and
+operators/components.py (canonicalization): once the KG's node/edge
+tables exist, these compute the classic downstream signals -- PageRank
+for entity salience, triangle counts / clustering coefficients for
+community density.  Both run on any (src, dst) DataFrame, including the
+natively-derived co-occurrence graphs (q57/q58) that make them
+oracle-checkable end to end.
+
+Scale design:
+- `pagerank` is the standard power iteration: each round is ONE shuffle
+  join (ranks x edges on src -- AQE reuses the key partitioning round to
+  round) plus one map-side-combinable groupBy(dst).  Head entities (a
+  node with 10^8 in-edges) are safe: their contribution sum combines
+  map-side.  Lineage is cut per round exactly like connected_components
+  (localCheckpoint by default, reliable checkpoint on a cluster).
+  Semantics are the GraphX convention: rank = (1-d) + d * sum of
+  neighbor contributions, dangling nodes keep the base term -- chosen
+  because it is SQL-unrollable (the q57 oracle) and matches the most
+  widely deployed Spark implementation.
+- `cooccurrence_edges` builds the pair expansion with the same
+  count-over-window group cap as the LSH/Jaccard families: a group with
+  10^6 items is 10^12 pairs -- wide groups are dropped and counted,
+  never silently exploded.
+- `triangle_count` is the canonical-orientation two-path join: edges
+  oriented low->high id, join wedge (u<v)x(v<w), probe (u,w).  Each
+  triangle is produced exactly once.  The wedge count is sum(deg^2) --
+  the documented skew risk; cap degrees upstream (drop super-nodes) for
+  power-law graphs, which is standard practice at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MAX_COOC_GROUP = 1024   # pair-expansion cap per group (C(1024,2) ~ 500k)
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                       max_group: int = MAX_COOC_GROUP) -> DataFrame:
+    """Canonical undirected co-occurrence edges: distinct (src < dst)
+    item pairs sharing at least one group (the native analogue of the
+    KG's co_mentioned edges, graph.py:build_edges)."""
+    pairs = df.select(F.col(group_col).alias("_g"),
+                      F.col(item_col).alias("_i")).distinct()
+    sized = pairs.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("_g")))
+    pairs = sized.where(F.col("_n") <= max_group).drop("_n")
+    a = pairs.select("_g", F.col("_i").alias("src"))
+    b = pairs.select("_g", F.col("_i").alias("dst"))
+    return (a.join(b, "_g")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+
+
+def wide_cooccurrence_group_count(df: DataFrame, group_col: str,
+                                  item_col: str,
+                                  max_group: int = MAX_COOC_GROUP) -> int:
+    """Metric: groups dropped by the pair-expansion cap (no silent caps)."""
+    return (df.select(group_col, item_col).distinct()
+            .groupBy(group_col).count()
+            .where(F.col("count") > max_group).count())
+
+
+def symmetrize(edges: DataFrame, src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Both directions of an undirected edge list, deduplicated."""
+    return (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .unionByName(edges.select(F.col(dst).alias("src"),
+                                      F.col(src).alias("dst")))
+            .dropDuplicates(["src", "dst"]))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 5, damping: float = 0.85,
+             reliable_checkpoint: bool = False) -> DataFrame:
+    """(node, rank) after `iterations` rounds of
+    rank(v) = (1-d) + d * sum_{u->v} rank(u) / outdeg(u),
+    all ranks starting at 1.0 (GraphX convention; dangling nodes hold
+    the base term).  Fixed iteration count keeps the result
+    deterministic and the oracle unrollable; convergence-driven stopping
+    is a trivial wrapper (iterate until max |delta| < eps)."""
+    def cut(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if reliable_checkpoint
+                else df.localCheckpoint())
+
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    e = cut(e)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    nodes = cut(nodes)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # contribution edges with the 1/outdeg factor pre-attached: computed
+    # once, reused every round
+    contrib_e = cut(e.join(outdeg, "src")
+                    .select("src", "dst",
+                            (F.lit(1.0) / F.col("_deg")).alias("_w")))
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        in_sum = (contrib_e
+                  .join(ranks, contrib_e["src"] == ranks["node"])
+                  .select(F.col("dst").alias("node"),
+                          (F.col("rank") * F.col("_w")).alias("_c"))
+                  .groupBy("node").agg(F.sum("_c").alias("_in")))
+        ranks = (nodes.join(in_sum, "node", "left")
+                 .select("node",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping)
+                          * F.coalesce(F.col("_in"), F.lit(0.0)))
+                         .alias("rank")))
+        ranks = cut(ranks)
+    return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """(node, n_triangles) over an undirected graph given in EITHER
+    orientation (canonicalized internally).  Each triangle contributes 1
+    to each of its three corners; triangle-free nodes report 0.
+
+    Degree-ordered orientation (the classic compact-forward trick):
+    every edge is directed from its lower-(degree, id) endpoint to the
+    higher, so wedges are enumerated only at each triangle's LOWEST-
+    degree corner.  Total wedge count drops from sum(deg^2) -- which a
+    power-law hub makes quadratic -- to O(m^1.5) regardless of skew
+    (each node's out-degree is bounded by ~sqrt(m)).  On degree-uniform
+    graphs (the sf0.1 part co-order graph: avg deg 120, max 222) the
+    gain is modest (~1.3x); the orientation exists for the power-law
+    case, where it is the difference between running and not."""
+    canon = (edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct())
+    canon = canon.persist()
+    sym = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(canon.select(F.col("v").alias("a"),
+                                     F.col("u").alias("b"))))
+    deg = sym.groupBy("a").agg(F.count("*").alias("_d"))
+    # orient a->b iff (deg[a], a) < (deg[b], b)
+    ranked = (sym.join(deg.withColumnRenamed("a", "x"),
+                       F.col("a") == F.col("x"))
+              .select("a", "b", F.col("_d").alias("da"))
+              .join(deg.withColumnRenamed("a", "x")
+                    .withColumnRenamed("_d", "db"),
+                    F.col("b") == F.col("x"))
+              .select("a", "b", "da", "db"))
+    oriented = (ranked.where(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+        .select("a", "b"))
+    oriented = oriented.persist()
+    # wedges at the lowest-degree corner: numeric-ordered out-neighbor
+    # pairs, closed against the canonical edge set
+    o1 = oriented.select("a", F.col("b").alias("n1"))
+    o2 = oriented.select("a", F.col("b").alias("n2"))
+    wedges = (o1.join(o2, "a")
+              .where(F.col("n1") < F.col("n2")))
+    tris = (wedges.join(canon, (wedges["n1"] == canon["u"])
+                        & (wedges["n2"] == canon["v"]))
+            .select(F.col("a"), F.col("n1").alias("b"),
+                    F.col("n2").alias("c")))
+    per_corner = (tris.select(F.col("a").alias("node"))
+                  .unionAll(tris.select(F.col("b").alias("node")))
+                  .unionAll(tris.select(F.col("c").alias("node"))))
+    nodes = (canon.select(F.col("u").alias("node"))
+             .unionByName(canon.select(F.col("v").alias("node")))
+             .distinct())
+    counted = per_corner.groupBy("node").agg(
+        F.count("*").alias("n_triangles"))
+    return (nodes.join(counted, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("long").alias("n_triangles")))
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "src",
+                            dst: str = "dst") -> DataFrame:
+    """(node, degree, n_triangles, coeff): local clustering coefficient
+    2*tri / (deg*(deg-1)), 0.0 for degree < 2."""
+    sym = symmetrize(edges, src, dst).where(F.col("src") != F.col("dst"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree"))
+    tri = triangle_counts(edges, src, dst)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1))).otherwise(F.lit(0.0))
+    return (deg.join(tri, "node", "left")
+            .select("node", F.col("degree").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    coeff.alias("coeff")))

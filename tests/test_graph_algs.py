@@ -1,0 +1,80 @@
+"""Graph analytics: PageRank power iteration, triangles, co-occurrence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactify_spark.operators import graph_algs as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _numpy_pagerank(edge_list, iterations=5, d=0.85):
+    """Independent pure-Python re-derivation (GraphX convention)."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    outdeg = {}
+    for u, _ in edge_list:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        acc = {n: 0.0 for n in nodes}
+        for u, v in edge_list:
+            acc[v] += r[u] / outdeg[u]
+        r = {n: (1 - d) + d * acc[n] for n in nodes}
+    return r
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    e = _edges(spark, [(1, 2), (2, 1)])
+    out = {r.node: r.rank for r in G.pagerank(e, iterations=5).collect()}
+    assert out == {1: pytest.approx(1.0), 2: pytest.approx(1.0)}
+
+
+def test_pagerank_matches_reference_star(spark):
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+    expected = _numpy_pagerank(pairs)
+    out = {r.node: r.rank
+           for r in G.pagerank(_edges(spark, pairs), iterations=5).collect()}
+    for n, v in expected.items():
+        assert out[n] == pytest.approx(v, abs=1e-12)
+
+
+def test_pagerank_dangling_keeps_base(spark):
+    pairs = [(1, 2)]  # node 2 dangling, node 1 receives nothing
+    expected = _numpy_pagerank(pairs)
+    out = {r.node: r.rank
+           for r in G.pagerank(_edges(spark, pairs), iterations=5).collect()}
+    assert out[1] == pytest.approx(0.15)
+    assert out[2] == pytest.approx(expected[2])
+
+
+def test_triangle_counts_and_coeff(spark):
+    # triangle 1-2-3 plus pendant 3-4
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    tri = {r.node: r.n_triangles for r in G.triangle_counts(e).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1, 4: 0}
+    cc = {r.node: (r.degree, round(r.coeff, 6))
+          for r in G.clustering_coefficients(e).collect()}
+    assert cc == {1: (2, 1.0), 2: (2, 1.0),
+                  3: (3, round(1 / 3, 6)), 4: (1, 0.0)}
+
+
+def test_triangle_orientation_insensitive(spark):
+    a = G.triangle_counts(_edges(spark, [(1, 2), (2, 3), (3, 1)]))
+    b = G.triangle_counts(_edges(spark, [(2, 1), (3, 2), (1, 3)]))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cooccurrence_edges_and_cap(spark):
+    rows = [(10, 1), (10, 2), (10, 3), (11, 2), (11, 3), (11, 2)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    edges = {(r.src, r.dst)
+             for r in G.cooccurrence_edges(df, "g", "i").collect()}
+    assert edges == {(1, 2), (1, 3), (2, 3)}
+    # cap at 2 drops group 10 (3 distinct items), keeps group 11
+    capped = {(r.src, r.dst)
+              for r in G.cooccurrence_edges(df, "g", "i",
+                                            max_group=2).collect()}
+    assert capped == {(2, 3)}
+    assert G.wide_cooccurrence_group_count(df, "g", "i", max_group=2) == 1
