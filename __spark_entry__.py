@@ -779,6 +779,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("coeff", 6).alias("coeff"))
                 .orderBy("node"))
 
+    def q59_tfidf_topk(spark, sf):
+        """Top-3 keywords per document by smoothed TF-IDF, deterministic
+        tiebreak.  Explode -> two map-side-combinable aggs -> vocabulary-
+        sized df join -> per-doc window top-k; fully native."""
+        d = _t(spark, sf, "documents")
+        return (X.tfidf_topk(d, k=3)
+                .select("doc_id", "token",
+                        F.col("tf").cast("long").alias("tf"), "tfidf")
+                .orderBy("doc_id", "token"))
+
+    def q60_cooccurrence_pmi(spark, sf):
+        """PMI association scores for part pairs co-occurring in orders
+        (the KG edge-weighting signal): capped pair expansion + two
+        vocabulary-sized marginal joins."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        return (G.cooccurrence_pmi(li, "l_orderkey", "l_partkey",
+                                   min_pair_count=2)
+                .select(F.col("src").cast("long").alias("src"),
+                        F.col("dst").cast("long").alias("dst"),
+                        "n_pair", F.round("pmi", 6).alias("pmi"))
+                .orderBy("src", "dst"))
+
+    def q61_stratified_sample(spark, sf):
+        """Deterministic per-language stratified sampling (corpus mixing):
+        md5-bucket filter, no RNG, no shuffle; per-stratum kept counts."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        s = CU.stratified_sample(d, "lang",
+                                 {"en": 50, "de": 20, "fr": 10},
+                                 default_pct=5)
+        return (s.groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_kept"),
+                     F.min("doc_id").alias("min_id"),
+                     F.max("doc_id").alias("max_id"))
+                .orderBy("lang"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -884,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_sessionize": q56_sessionize,
         "q57_pagerank": q57_pagerank,
         "q58_triangles": q58_triangles,
+        "q59_tfidf_topk": q59_tfidf_topk,
+        "q60_cooccurrence_pmi": q60_cooccurrence_pmi,
+        "q61_stratified_sample": q61_stratified_sample,
     }
 
 
@@ -1716,5 +1756,70 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS coeff
         FROM deg d LEFT JOIN tcount t ON t.node = d.node
         ORDER BY node
+    """
+
+    # ---- q59: TF-IDF top-k keywords ---------------------------------------
+    sql["q59_tfidf_topk"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
+               GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, token, tf, round(tfidf, 6) AS tfidf
+        FROM (SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0)
+                         AS tfidf,
+                     row_number() OVER (
+                         PARTITION BY tf.doc_id
+                         ORDER BY tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0))
+                                           + 1.0) DESC, tf.token) AS rk
+              FROM tf JOIN dfq USING (token), n)
+        WHERE rk <= 3
+        ORDER BY doc_id, token
+    """
+
+    # ---- q60: co-occurrence PMI -------------------------------------------
+    sql["q60_cooccurrence_pmi"] = f"""
+        WITH pairs AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                       FROM lineitem),
+        capped AS (SELECT g, i FROM (
+                       SELECT g, i, count(*) OVER (PARTITION BY g) AS _n
+                       FROM pairs)
+                   WHERE _n <= {MAX_COOC_GROUP}),
+        pc AS (SELECT a.i AS src, b.i AS dst,
+                      CAST(count(*) AS BIGINT) AS n_pair
+               FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
+               GROUP BY a.i, b.i HAVING count(*) >= 2),
+        marg AS (SELECT i, CAST(count(*) AS BIGINT) AS m
+                 FROM pairs GROUP BY i),
+        ng AS (SELECT count(DISTINCT g) AS n FROM pairs)
+        SELECT src, dst, n_pair,
+               round(ln(CAST(n_pair AS DOUBLE) * ng.n / (ms.m * md.m)), 6)
+                   AS pmi
+        FROM pc
+        JOIN marg ms ON ms.i = pc.src
+        JOIN marg md ON md.i = pc.dst, ng
+        ORDER BY src, dst
+    """
+
+    # ---- q61: deterministic stratified sampling ---------------------------
+    sql["q61_stratified_sample"] = """
+        WITH s AS (
+            SELECT * FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 100
+                  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                              WHEN 'fr' THEN 10 ELSE 5 END)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM s GROUP BY lang ORDER BY lang
     """
     return sql

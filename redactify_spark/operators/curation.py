@@ -79,3 +79,23 @@ def token_budget_pack(docs: DataFrame, budget: int,
                         (F.col("_prefix") + F.col("_cum_in")).cast("long"))
             .where(F.col("cum_tokens") <= budget)
             .drop("_cum_in", "_prefix"))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str,
+                      rates: dict[str, int], default_pct: int = 0,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~rates[stratum]% of each
+    stratum's rows, keyed on md5(id) like deterministic_split -- stable
+    across runs, partitionings and engines, no RNG state to distribute,
+    and a row's fate never changes when other rows appear (so incremental
+    reruns keep their samples).  The standard corpus-mixing primitive
+    (e.g. downsample boilerplate-heavy domains, upweight rare languages
+    by sampling others down).  Zero shuffles: a literal CASE lookup plus
+    a hash filter, fully pushdown-friendly."""
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
+                     16, 10).cast("int") % 100)
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)) \
+                .otherwise(rate)
+    return docs.where(bucket < rate)

@@ -196,3 +196,41 @@ def clustering_coefficients(edges: DataFrame, src: str = "src",
                     F.coalesce("n_triangles", F.lit(0)).cast("long")
                     .alias("n_triangles"),
                     coeff.alias("coeff")))
+
+
+def cooccurrence_pmi(df: DataFrame, group_col: str, item_col: str,
+                     min_pair_count: int = 2,
+                     max_group: int = MAX_COOC_GROUP) -> DataFrame:
+    """(src, dst, n_pair, pmi): pointwise mutual information of item
+    pairs sharing a group -- ln(n_pair * n_groups / (n_src * n_dst)).
+    The KG edge-weighting signal (co-mentioned entities with high PMI
+    are related, high-count/low-PMI pairs are boilerplate).
+
+    Shape: the pair expansion reuses the capped co-occurrence join;
+    marginals (items-per-group counts) are one map-side-combinable
+    aggregation; the marginal table is item-vocabulary-sized and joins
+    back by key.  `min_pair_count` prunes the noise tail BEFORE the
+    marginal joins."""
+    pairs = df.select(F.col(group_col).alias("_g"),
+                      F.col(item_col).alias("_i")).distinct()
+    pairs = pairs.persist()
+    sized = pairs.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("_g")))
+    capped = sized.where(F.col("_n") <= max_group).drop("_n")
+    a = capped.select("_g", F.col("_i").alias("src"))
+    b = capped.select("_g", F.col("_i").alias("dst"))
+    pair_counts = (a.join(b, "_g")
+                   .where(F.col("src") < F.col("dst"))
+                   .groupBy("src", "dst")
+                   .agg(F.count("*").cast("long").alias("n_pair"))
+                   .where(F.col("n_pair") >= min_pair_count))
+    marg = pairs.groupBy("_i").agg(F.count("*").cast("long").alias("_m"))
+    n_groups = pairs.select("_g").distinct().count()
+    return (pair_counts
+            .join(marg.select(F.col("_i").alias("src"),
+                              F.col("_m").alias("_ms")), "src")
+            .join(marg.select(F.col("_i").alias("dst"),
+                              F.col("_m").alias("_md")), "dst")
+            .select("src", "dst", "n_pair",
+                    F.log(F.col("n_pair").cast("double") * F.lit(n_groups)
+                          / (F.col("_ms") * F.col("_md"))).alias("pmi")))

@@ -168,3 +168,38 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         token_count_expr(t).alias("n_tokens"),
         bpe_ish_token_count_expr(t).alias("n_subwords"),
         fingerprint_expr(t).alias("fingerprint"))
+
+
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3,
+               id_col: str = "doc_id",
+               n_docs: int | None = None) -> DataFrame:
+    """(doc_id, token, tf, tfidf): top-k keywords per document by
+    smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing),
+    deterministic tiebreak (tfidf desc, token asc).  Fully native:
+    explode -> two map-side-combinable aggregations -> broadcast-sized
+    df join -> per-doc window top-k.  The widest shuffle is keyed by
+    (doc, token); the document-frequency table is vocabulary-sized.
+
+    `n_docs`: pass the known corpus size to avoid the extra count scan
+    (the ANN-hygiene rule); None counts once."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+    if n_docs is None:
+        n_docs = docs.count()
+    exploded = docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(toks).alias("token"))
+    tf = exploded.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (tf.join(df_tbl, "token")
+            .withColumn("tfidf", F.col("tf") * idf)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select("doc_id", "token", "tf",
+                    F.round("tfidf", 6).alias("tfidf")))

@@ -110,3 +110,47 @@ def test_gopher_rules(spark):
     assert not got[1].ok_word_count
     assert not got[2].ok_repetition
     assert not got[3].ok_symbol_ratio
+
+
+def test_stratified_sample_deterministic_and_ratelike(spark):
+    from redactify_spark.operators.curation import stratified_sample
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = {r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 50, "de": 10}).collect()}
+    s2 = {r.doc_id for r in stratified_sample(
+        docs.repartition(13), "lang", {"en": 50, "de": 10}).collect()}
+    assert s1 == s2  # partition-invariant, no RNG
+    n_en = sum(1 for d in s1 if d % 2 == 0)
+    n_de = len(s1) - n_en
+    assert 400 <= n_en <= 600        # ~50% of 1000
+    assert 50 <= n_de <= 150         # ~10% of 1000
+    # a row's fate is independent of the rest of the corpus
+    half = {r.doc_id for r in stratified_sample(
+        docs.where("doc_id < 1000"), "lang", {"en": 50, "de": 10}).collect()}
+    assert half == {d for d in s1 if d < 1000}
+
+
+def test_stratified_sample_default_rate_zero_drops_unknown(spark):
+    from redactify_spark.operators.curation import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "xx") for i in range(100)], "doc_id long, lang string")
+    assert stratified_sample(docs, "lang", {"en": 50}).count() == 0
+
+
+def test_tfidf_topk_hand_fixture(spark):
+    from redactify_spark.operators.textstats import tfidf_topk
+    import math
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.token): (r.tf, r.tfidf)
+           for r in tfidf_topk(docs, k=2).collect()}
+    # N=3; df: apple 1, banana 2, cherry 1
+    idf = lambda df: math.log((3 + 1) / (df + 1)) + 1
+    assert out[(0, "apple")] == (2, round(2 * idf(1), 6))
+    assert out[(0, "banana")] == (1, round(1 * idf(2), 6))
+    assert out[(1, "cherry")] == (1, round(1 * idf(1), 6))
+    assert (2, "") not in out and not any(d == 2 for d, _ in out)
+    # k=2 keeps exactly the top tokens per doc
+    assert len([1 for d, _ in out if d == 0]) == 2

@@ -78,3 +78,20 @@ def test_cooccurrence_edges_and_cap(spark):
                                             max_group=2).collect()}
     assert capped == {(2, 3)}
     assert G.wide_cooccurrence_group_count(df, "g", "i", max_group=2) == 1
+
+
+def test_cooccurrence_pmi_hand_fixture(spark):
+    import math
+    # groups: {a,b} x3, {a,c} x1 -> pairs (a,b):3, (a,c):1 (pruned at min 2)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (4, "a"), (4, "c")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    out = {(r.src, r.dst): (r.n_pair, round(r.pmi, 6))
+           for r in G.cooccurrence_pmi(df, "g", "i",
+                                       min_pair_count=2).collect()}
+    # n_groups=4, m(a)=4, m(b)=3 -> pmi(a,b)=ln(3*4/(4*3))=0
+    assert out == {("a", "b"): (3, round(math.log(3 * 4 / (4 * 3)), 6))}
+    both = {(r.src, r.dst): r.n_pair
+            for r in G.cooccurrence_pmi(df, "g", "i",
+                                        min_pair_count=1).collect()}
+    assert both[("a", "c")] == 1
