@@ -164,7 +164,7 @@ def run_full_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
     stage_walls = {
         s: CP.read_manifest(root, s)["wall_time_sec"]
         for s in ("01_mentions", "02_triples", "03_match_edges",
-                  "04_canonical", "05_nodes", "06_edges")}
+                  "04_canonical", "05_nodes", "06_edges", "07_salience")}
     return {"sec": round(elapsed, 3), "n_docs": n_docs,
             "n_triples": n_triples, "n_nodes": n_nodes, "n_edges": n_edges,
             "docs_per_sec": round(n_docs / elapsed, 1),
@@ -179,7 +179,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     picks = ["q01_lineitem_agg", "q05_broadcast_dim_join", "q11_topk",
              "q15_ngram_jaccard", "q16_token_stats", "q20_time_window_agg",
              "q30_detect_mentions", "q31_triples", "q36_minhash_dedup",
-             "q38_ann_topk"]
+             "q38_ann_topk", "q54_minhash_native", "q57_pagerank"]
     out = {}
     for name in picks:
         t0 = time.time()

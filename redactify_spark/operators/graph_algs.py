@@ -76,33 +76,48 @@ def symmetrize(edges: DataFrame, src: str = "src",
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping: float = 0.85,
+             weight: str | None = None,
+             checkpoint_every: int = 2,
              reliable_checkpoint: bool = False) -> DataFrame:
     """(node, rank) after `iterations` rounds of
-    rank(v) = (1-d) + d * sum_{u->v} rank(u) / outdeg(u),
+    rank(v) = (1-d) + d * sum_{u->v} rank(u) * w(u,v) / W(u),
     all ranks starting at 1.0 (GraphX convention; dangling nodes hold
-    the base term).  Fixed iteration count keeps the result
-    deterministic and the oracle unrollable; convergence-driven stopping
-    is a trivial wrapper (iterate until max |delta| < eps)."""
+    the base term).  Unweighted by default (w=1, W=outdeg); pass
+    `weight` to distribute each node's rank proportionally to edge
+    weights (co-mention counts in the KG salience stage).  Fixed
+    iteration count keeps the result deterministic and the oracle
+    unrollable; convergence-driven stopping is a trivial wrapper
+    (iterate until max |delta| < eps)."""
     def cut(df: DataFrame) -> DataFrame:
         return (df.checkpoint() if reliable_checkpoint
                 else df.localCheckpoint())
 
-    e = edges.select(F.col(src).alias("src"),
-                     F.col(dst).alias("dst")).distinct()
+    if weight is None:
+        e = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct()
+    else:
+        e = (edges.groupBy(F.col(src).alias("src"),
+                           F.col(dst).alias("dst"))
+             .agg(F.sum(weight).cast("double").alias("_ew")))
     e = cut(e)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     nodes = cut(nodes)
-    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    # contribution edges with the 1/outdeg factor pre-attached: computed
+    if weight is None:
+        outdeg = e.groupBy("src").agg(
+            F.count("*").cast("double").alias("_wsum"))
+        e = e.withColumn("_ew", F.lit(1.0))
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("_ew").alias("_wsum"))
+    # contribution edges with the w/W factor pre-attached: computed
     # once, reused every round
     contrib_e = cut(e.join(outdeg, "src")
                     .select("src", "dst",
-                            (F.lit(1.0) / F.col("_deg")).alias("_w")))
+                            (F.col("_ew") / F.col("_wsum")).alias("_w")))
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         in_sum = (contrib_e
                   .join(ranks, contrib_e["src"] == ranks["node"])
                   .select(F.col("dst").alias("node"),
@@ -114,7 +129,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                           + F.lit(damping)
                           * F.coalesce(F.col("_in"), F.lit(0.0)))
                          .alias("rank")))
-        ranks = cut(ranks)
+        # a checkpoint is one full materialization job; every round is
+        # overkill for a 2-join lineage step.  Cut every k rounds (and
+        # on the last) -- the tree between cuts stays linear in k.
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = cut(ranks)
     return ranks
 
 

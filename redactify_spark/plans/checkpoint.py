@@ -166,6 +166,26 @@ def kg_pipeline(spark: SparkSession, pages: DataFrame, root: str,
                       lambda: build_nodes(mentions, canon, id_col=id_col))
     edges = run_stage(spark, root, "06_edges",
                       lambda: build_edges(mentions, canon, id_col=id_col))
+    salience = run_stage(spark, root, "07_salience",
+                         lambda: _entity_salience(nodes, edges))
     return {"mentions": mentions, "triples": triples,
             "match_edges": medges, "canonical": canon,
-            "nodes": nodes, "edges": edges}
+            "nodes": nodes, "edges": edges, "salience": salience}
+
+
+def _entity_salience(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Entity salience: weighted PageRank over the symmetrized co-mention
+    /contact graph (edge weight = distinct supporting documents), joined
+    back onto the node table.  Nodes outside any edge keep the PageRank
+    base term (1 - damping) -- they were mentioned but never co-mentioned."""
+    from redactify_spark.operators.graph_algs import pagerank
+    sym = (edges.select("src", "dst", "weight")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"), "weight"))
+           .groupBy("src", "dst").agg(F.max("weight").alias("weight")))
+    ranks = pagerank(sym, weight="weight", iterations=5)
+    return (nodes.join(ranks.withColumnRenamed("node", "canon_id"),
+                       "canon_id", "left")
+            .select("canon_id", "type", "n_mentions", "n_docs",
+                    F.round(F.coalesce("rank", F.lit(0.15)), 6)
+                    .alias("salience")))

@@ -66,19 +66,33 @@ def test_kill_resume_equivalence(spark, root):
     edges_before = table_set(full["edges"])
     h_nodes = CP.content_hash(full["nodes"])
 
+    salience_before = table_set(full["salience"])
+
     # crash after 02_triples: drop downstream checkpoints
-    for stage in ("03_match_edges", "04_canonical", "05_nodes", "06_edges"):
+    for stage in ("03_match_edges", "04_canonical", "05_nodes", "06_edges",
+                  "07_salience"):
         CP.invalidate(root, stage)
 
     resumed = CP.kg_pipeline(spark, pages, root, id_col="url")
     assert table_set(resumed["nodes"]) == nodes_before
     assert table_set(resumed["edges"]) == edges_before
+    assert table_set(resumed["salience"]) == salience_before
     assert CP.content_hash(resumed["nodes"]) == h_nodes
 
     # manifests intact for all stages
     for stage in ("01_mentions", "02_triples", "03_match_edges",
-                  "04_canonical", "05_nodes", "06_edges"):
+                  "04_canonical", "05_nodes", "06_edges", "07_salience"):
         assert CP.stage_complete(root, stage)
+
+    # salience semantics: co-mentioned entities rise above the PageRank
+    # base term; never-co-mentioned nodes sit exactly at it
+    sal = {r.canon_id: r.salience for r in resumed["salience"].collect()}
+    edge_nodes = {r.src for r in resumed["edges"].collect()} | \
+                 {r.dst for r in resumed["edges"].collect()}
+    assert sal, "salience table empty"
+    for cid, s in sal.items():
+        if cid not in edge_nodes:
+            assert s == 0.15
 
 
 def test_content_hash_partition_invariant(spark):

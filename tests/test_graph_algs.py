@@ -95,3 +95,40 @@ def test_cooccurrence_pmi_hand_fixture(spark):
             for r in G.cooccurrence_pmi(df, "g", "i",
                                         min_pair_count=1).collect()}
     assert both[("a", "c")] == 1
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    import math
+    pairs = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 2.0), (2, 0, 1.0)]
+    # independent re-derivation with weight-proportional distribution
+    nodes = {0, 1, 2}
+    wsum = {}
+    for u, _, w in pairs:
+        wsum[u] = wsum.get(u, 0.0) + w
+    r = {n: 1.0 for n in nodes}
+    for _ in range(5):
+        acc = {n: 0.0 for n in nodes}
+        for u, v, w in pairs:
+            acc[v] += r[u] * w / wsum[u]
+        r = {n: 0.15 + 0.85 * acc[n] for n in nodes}
+    e = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    out = {row.node: row.rank
+           for row in G.pagerank(e, weight="weight",
+                                 iterations=5).collect()}
+    for n, v in r.items():
+        assert out[n] == pytest.approx(v, abs=1e-12)
+    # weighted != unweighted on this fixture (weight actually matters)
+    unw = {row.node: row.rank
+           for row in G.pagerank(e, iterations=5).collect()}
+    assert not math.isclose(out[1], unw[1])
+
+
+def test_pagerank_weighted_parallel_edges_summed(spark):
+    # duplicate (src,dst) rows: weights sum before normalization
+    e1 = spark.createDataFrame([(0, 1, 1.0), (0, 1, 2.0), (0, 2, 3.0)],
+                               "src long, dst long, weight double")
+    e2 = spark.createDataFrame([(0, 1, 3.0), (0, 2, 3.0)],
+                               "src long, dst long, weight double")
+    a = sorted(map(tuple, G.pagerank(e1, weight="weight").collect()))
+    b = sorted(map(tuple, G.pagerank(e2, weight="weight").collect()))
+    assert a == b
