@@ -816,6 +816,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.max("doc_id").alias("max_id"))
                 .orderBy("lang"))
 
+    def q62_chunking(spark, sf):
+        """Fixed-token-window document chunking with overlap (LLM
+        context prep): shuffle-free explode inside the scan stage.
+        Chunk text pinned by md5 so the oracle checks content exactly."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        c = CU.chunk_documents(d, chunk_tokens=64, overlap=16)
+        return (c.select("doc_id", "chunk_idx", "n_chunk_tokens",
+                         F.md5("chunk_text").alias("chunk_md5"))
+                .orderBy("doc_id", "chunk_idx"))
+
+    def q63_percentiles(spark, sf):
+        """Exact per-language token-count percentiles (p50/p90/p99,
+        linear interpolation): the corpus-profiling aggregate.  For
+        10^12-row groups swap percentile() for percentile_approx()
+        (t-digest, map-side combinable) -- exact here so DuckDB's
+        quantile_cont can value-check it."""
+        d = _t(spark, sf, "documents")
+        toks = X.token_count_expr(F.col("text")).cast("double")
+        return (d.select("lang", toks.alias("_n"))
+                .groupBy("lang")
+                .agg(F.round(F.percentile("_n", F.lit(0.5)), 4)
+                     .alias("p50"),
+                     F.round(F.percentile("_n", F.lit(0.9)), 4)
+                     .alias("p90"),
+                     F.round(F.percentile("_n", F.lit(0.99)), 4)
+                     .alias("p99"),
+                     F.count("*").cast("long").alias("n_docs"))
+                .orderBy("lang"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -924,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_tfidf_topk": q59_tfidf_topk,
         "q60_cooccurrence_pmi": q60_cooccurrence_pmi,
         "q61_stratified_sample": q61_stratified_sample,
+        "q62_chunking": q62_chunking,
+        "q63_percentiles": q63_percentiles,
     }
 
 
@@ -1821,5 +1853,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM s GROUP BY lang ORDER BY lang
+    """
+
+    # ---- q62: fixed-token-window chunking ----------------------------------
+    sql["q62_chunking"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE len(trim(text)) > 0),
+        base AS (SELECT doc_id, toks, len(toks) AS n FROM toks),
+        chunks AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(1 + ceil(greatest(n - 64, 0) / 48.0)
+                               AS INT) - 1)) AS chunk_idx
+            FROM base)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(sl) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(sl, ' ')) AS chunk_md5
+        FROM (SELECT doc_id, chunk_idx,
+                     list_slice(toks, chunk_idx * 48 + 1,
+                                chunk_idx * 48 + 64) AS sl
+              FROM chunks)
+        ORDER BY doc_id, chunk_idx
+    """
+
+    # ---- q63: exact per-group percentiles ----------------------------------
+    sql["q63_percentiles"] = """
+        WITH t AS (
+            SELECT lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\\s+'))
+                        END AS DOUBLE) AS n
+            FROM documents)
+        SELECT lang,
+               round(quantile_cont(n, 0.5), 4) AS p50,
+               round(quantile_cont(n, 0.9), 4) AS p90,
+               round(quantile_cont(n, 0.99), 4) AS p99,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM t GROUP BY lang ORDER BY lang
     """
     return sql

@@ -99,3 +99,40 @@ def stratified_sample(docs: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)) \
                 .otherwise(rate)
     return docs.where(bucket < rate)
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-token-count chunks with overlap (the
+    LLM context-window prep step): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), stride = chunk_tokens - overlap.
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_text); documents
+    with zero tokens emit nothing.  Whitespace inside a chunk is
+    normalized to single spaces (the join of the token slice).
+
+    Fully native (split -> sequence -> explode -> slice): embarrassingly
+    parallel, no shuffle at all -- the chunk explosion happens inside the
+    scan stage and output size is input size x (1 + overlap/stride)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - chunk_tokens) / stride).
+    # Zero-token docs are filtered BEFORE the sequence: Spark's
+    # sequence(0, -1) is a DESCENDING [0, -1], not empty.
+    n_chunks = (1 + F.ceil((F.greatest(n - chunk_tokens, F.lit(0)))
+                           / F.lit(stride)).cast("int"))
+    chunks = (docs.where(F.length(t) > 0)
+              .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                      F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                      .alias("chunk_idx")))
+    sliced = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1,
+                     chunk_tokens)
+    return chunks.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sliced).cast("long").alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"))

@@ -154,3 +154,45 @@ def test_tfidf_topk_hand_fixture(spark):
     assert (2, "") not in out and not any(d == 2 for d, _ in out)
     # k=2 keeps exactly the top tokens per doc
     assert len([1 for d, _ in out if d == 0]) == 2
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from redactify_spark.operators.curation import chunk_documents
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, words), (1, "a b c"), (2, "   "), (3, "")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in chunk_documents(docs, chunk_tokens=4,
+                                    overlap=1).collect()}
+    # doc 0: stride 3 -> starts 0,3,6 cover w0..w9 (start 9 not needed:
+    # 1 + ceil((10-4)/3) = 3 chunks)
+    assert out[(0, 0)] == "w0 w1 w2 w3"
+    assert out[(0, 1)] == "w3 w4 w5 w6"
+    assert out[(0, 2)] == "w6 w7 w8 w9"
+    assert (0, 3) not in out
+    # short doc -> single partial chunk; blank/empty docs -> nothing
+    assert out[(1, 0)] == "a b c" and (1, 1) not in out
+    assert not any(d in (2, 3) for d, _ in out)
+
+
+def test_chunk_documents_reconstructs_tokens(spark):
+    """Concatenating chunks minus overlaps reproduces the token stream."""
+    from redactify_spark.operators.curation import chunk_documents
+    text = " ".join(f"t{i}" for i in range(137))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, chunk_tokens=32, overlap=8)
+                  .collect(), key=lambda r: r.chunk_idx)
+    rebuilt = rows[0].chunk_text.split()
+    for r in rows[1:]:
+        rebuilt += r.chunk_text.split()[8:]
+    assert rebuilt == text.split()
+    assert all(r.n_chunk_tokens <= 32 for r in rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from redactify_spark.operators.curation import chunk_documents
+    import pytest as _pt
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)

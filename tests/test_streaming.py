@@ -140,3 +140,88 @@ def test_stateful_registry_survives_restart(spark, tmp_path):
                 batch.select("pseudo_key").distinct().collect()}
     assert set(all_emitted) == all_keys
     assert set(all_emitted) - first, "second tranche added no new keys"
+
+
+def test_session_stream_gap_and_timeout_closures(spark, tmp_path):
+    """Continuous sessionization (applyInPandasWithState +
+    EventTimeTimeout): sessions close inline on the gap rule OR by
+    watermark timeout; still-open sessions are not emitted."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redactify_spark.streaming.sessions import session_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        tbl = pa.table({
+            "user_id": pa.array(pdf["user_id"], pa.int64()),
+            "ts": pa.array(pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC"),
+                           pa.timestamp("us", tz="UTC")),
+            "value": pa.array(pdf["value"], pa.float64()),
+        })
+        path = str(tmp_path / "ev" / name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: two sessions for user 1 (A: 2 events, B: 1 event), one
+    # 3-event session for user 2, plus open tails at t0+4h for both
+    batch1 = [
+        (1, t0, 1.0), (1, t0 + 5 * m, 2.0),            # session A
+        (1, t0 + 120 * m, 4.0),                        # session B
+        (2, t0 + 10 * m, 1.0), (2, t0 + 12 * m, 1.0),
+        (2, t0 + 14 * m, 1.0),                         # user-2 session
+        (1, t0 + 240 * m, 8.0), (2, t0 + 240 * m, 9.0),  # open tails
+    ]
+    # batches 2/3: user 3 far in the future -- advance the watermark so
+    # the t0+4h tails close by TIMEOUT during batch 3
+    batch2 = [(3, t0 + 300 * m, 1.0)]
+    batch3 = [(3, t0 + 301 * m, 1.0)]
+    write_batch("b1.parquet", batch1, 1_000)
+    write_batch("b2.parquet", batch2, 2_000)
+    write_batch("b3.parquet", batch3, 3_000)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "ev")))
+    q = (session_stream(stream, gap_minutes=30.0)
+         .writeStream.format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.user_id, r.session_start_us, r.session_end_us,
+            r.n_events, r.total_value)
+           for r in spark.sql("select * from sessions").collect()}
+
+    us = lambda ts: int(ts.timestamp() * 1_000_000)
+    expected = {
+        (1, us(t0), us(t0 + 5 * m), 2, 3.0),            # A (gap rule)
+        (1, us(t0 + 120 * m), us(t0 + 120 * m), 1, 4.0),  # B (gap rule)
+        (2, us(t0 + 10 * m), us(t0 + 14 * m), 3, 3.0),
+        (1, us(t0 + 240 * m), us(t0 + 240 * m), 1, 8.0),  # timeout
+        (2, us(t0 + 240 * m), us(t0 + 240 * m), 1, 9.0),  # timeout
+    }
+    assert got == expected
+    # user 3's session is still open -> not emitted
+    assert not any(u == 3 for u, *_ in got)
+
+    # batch parity: the closed sessions match the batch operator's
+    # stats for the same (user, session) windows
+    from redactify_spark.operators import temporal as TP
+    all_events = spark.createDataFrame(
+        [(i, u, ts, v) for i, (u, ts, v)
+         in enumerate(batch1 + batch2 + batch3)],
+        "event_id long, user_id long, ts timestamp, value double")
+    batch_sessions = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in TP.session_stats(all_events, gap_minutes=30.0).collect()}
+    assert {(u, n, v) for u, _, _, n, v in got} <= batch_sessions
