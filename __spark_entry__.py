@@ -846,6 +846,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").cast("long").alias("n_docs"))
                 .orderBy("lang"))
 
+    def q64_unigram_nll(spark, sf):
+        """Perplexity-style quality gate: mean per-token NLL under an
+        add-1-smoothed unigram LM fit on the same corpus.  LM stats
+        (total, vocab) computed once and passed in -- the scoring plan
+        has no count scans; vocabulary-sized left join + one map-side-
+        combinable per-doc agg."""
+        d = _t(spark, sf, "documents")
+        lm = X.fit_unigram_lm(d).persist()
+        stats = lm.agg(F.sum("cnt"), F.count("*")).first()
+        total, vocab = int(stats[0]), int(stats[1])
+        return (X.unigram_nll(d, lm, total, vocab)
+                .select("doc_id", "n_tokens",
+                        F.round("nll", 6).alias("nll"))
+                .orderBy("doc_id"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -956,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_stratified_sample": q61_stratified_sample,
         "q62_chunking": q62_chunking,
         "q63_percentiles": q63_percentiles,
+        "q64_unigram_nll": q64_unigram_nll,
     }
 
 
@@ -1893,5 +1909,28 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n, 0.99), 4) AS p99,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM t GROUP BY lang ORDER BY lang
+    """
+
+    # ---- q64: unigram-LM mean NLL (perplexity-style quality gate) ----------
+    sql["q64_unigram_nll"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        lm AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+               FROM ex GROUP BY token),
+        stats AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM lm)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln((cnt + 1.0)
+                             / (stats.total + 1.0 * (stats.vocab + 1)))), 6)
+                   AS nll
+        FROM ex JOIN lm USING (token), stats
+        GROUP BY doc_id
+        ORDER BY doc_id
     """
     return sql

@@ -203,3 +203,47 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3,
             .where(F.col("_rk") <= k)
             .select("doc_id", "token", "tf",
                     F.round("tfidf", 6).alias("tfidf")))
+
+
+def fit_unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt): corpus unigram counts over the ASCII-normalized
+    whitespace tokens -- one explode + one map-side-combinable agg.
+    The 'training' half of the perplexity-style quality filter
+    (CCNet/Gopher-lite with a unigram model instead of KenLM)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+    return (docs.select(F.explode(toks).alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("cnt")))
+
+
+def unigram_nll(docs: DataFrame, lm: DataFrame, total_tokens: int,
+                vocab_size: int, text_col: str = "text",
+                id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+    """(doc_id, n_tokens, nll): mean negative log-likelihood per token
+    under the add-alpha-smoothed unigram model --
+    p(t) = (cnt + alpha) / (total + alpha * (vocab + 1)), unseen tokens
+    get cnt = 0.  High NLL = out-of-distribution text (gibberish,
+    boilerplate in another register): the perplexity quality gate.
+
+    Shape: explode -> join against the vocabulary-sized LM table (left,
+    so OOV scores) -> one map-side-combinable per-doc aggregation.
+    `total_tokens` / `vocab_size` are passed in (computed once when the
+    LM is fit) -- no per-call count scans (the ANN-hygiene rule).
+    Zero-token documents emit nothing."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+    denom = float(total_tokens) + alpha * (vocab_size + 1)
+    exploded = docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(toks).alias("token"))
+    scored = (exploded.join(lm, "token", "left")
+              .select("doc_id",
+                      (-F.log((F.coalesce(F.col("cnt"), F.lit(0))
+                               + F.lit(alpha)) / F.lit(denom)))
+                      .alias("_nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.avg("_nll").alias("nll")))

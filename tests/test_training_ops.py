@@ -442,3 +442,41 @@ def test_embedding_dedup(spark, embeddings):
     ids = {r.vec_id for r in kept.select("vec_id").collect()}
     assert 0 in ids and 100000 not in ids and 200000 not in ids
     assert kept.count() == embeddings.count()  # only the plants removed
+
+
+# --- unigram LM quality gate ---------------------------------------------
+
+def test_unigram_nll_hand_fixture(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "aa zz"), (2, "")],
+        "doc_id long, text string")
+    lm = X.fit_unigram_lm(docs)
+    counts = {r.token: r.cnt for r in lm.collect()}
+    assert counts == {"aa": 3, "bb": 1, "zz": 1}
+    total, vocab = 5, 3
+    out = {r.doc_id: (r.n_tokens, r.nll)
+           for r in X.unigram_nll(docs, lm, total, vocab).collect()}
+    denom = total + 1.0 * (vocab + 1)
+    p = lambda c: (c + 1.0) / denom
+    exp0 = -(2 * math.log(p(3)) + math.log(p(1))) / 3
+    exp1 = -(math.log(p(3)) + math.log(p(1))) / 2
+    assert out[0][0] == 3 and out[0][1] == pytest.approx(exp0)
+    assert out[1][1] == pytest.approx(exp1)
+    assert 2 not in out  # zero-token docs emit nothing
+
+
+def test_unigram_nll_oov_scores_higher(spark):
+    """Scoring held-out text: OOV tokens get the alpha floor, so
+    out-of-distribution docs rank worse (higher NLL)."""
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 10)], "doc_id long, text string")
+    lm = X.fit_unigram_lm(train)
+    total = lm.agg(F.sum("cnt")).first()[0]
+    vocab = lm.count()
+    held = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "qqq zzz www")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.nll
+           for r in X.unigram_nll(held, lm, int(total), vocab).collect()}
+    assert out[2] > out[1]
