@@ -861,6 +861,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("nll", 6).alias("nll"))
                 .orderBy("doc_id"))
 
+    def q65_sample_per_group(spark, sf):
+        """Deterministic uniform 5-sample per language (md5 order):
+        the eval-set primitive -- reproducible across engines."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        return (CU.sample_per_group(d, "lang", k=5)
+                .select("lang", "doc_id")
+                .orderBy("lang", "doc_id"))
+
+    def q66_url_canonicalization(spark, sf):
+        """Canonical-URL normalization over deterministically synthesized
+        crawl URLs (case-variant hosts, default ports, tracking params,
+        fragments): fully native regex/list expressions, zero UDFs --
+        the pre-detection volume reducer of the webtext pipeline."""
+        from redactify_spark.operators import urls as U
+        d = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("HTTPS://Site"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/Docs/"), F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("/?utm_source=feed&b=2&a=1"))
+            .otherwise(F.lit("?q=1")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#top"))
+            .otherwise(F.lit("")))
+        return (d.select("doc_id", url.alias("url"))
+                .withColumn("canonical_url",
+                            U.canonical_url_expr(F.col("url")))
+                .select("doc_id", "canonical_url")
+                .orderBy("doc_id"))
+
+    def q67_pii_density(spark, sf):
+        """PII-density risk report (the reference's redaction-analytics
+        view): per-document native email/SSN-shape counts per 100
+        tokens, binned into risk levels.  One projection pass -- counts,
+        density and bin all inside whole-stage codegen."""
+        d = _t(spark, sf, "documents")
+        text = F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.com "),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("ssn 123-45-6789 on file "))
+            .otherwise(F.lit("")),
+            F.col("text"))
+        email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+        ssn_pat = r"\b\d{3}-\d{2}-\d{4}\b"
+        n_email = F.size(F.regexp_extract_all(text, F.lit(email_pat), 0))
+        n_ssn = F.size(F.regexp_extract_all(text, F.lit(ssn_pat), 0))
+        n_tok = X.token_count_expr(text)
+        density = ((n_email + n_ssn) * 100.0
+                   / F.greatest(n_tok, F.lit(1)))
+        risk = F.when(density > 3.0, F.lit("high")) \
+                .when(density > 1.0, F.lit("medium")) \
+                .otherwise(F.lit("low"))
+        per_doc = d.select(
+            "doc_id", n_email.alias("_ne"), n_ssn.alias("_ns"),
+            F.round(density, 6).alias("_den"), risk.alias("risk"))
+        return (per_doc.groupBy("risk")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("_ne").cast("long").alias("n_emails"),
+                     F.sum("_ns").cast("long").alias("n_ssns"),
+                     F.round(F.avg("_den"), 6).alias("avg_density"))
+                .orderBy("risk"))
+
+    def q68_kcore(spark, sf):
+        """k-core of the part co-order graph (iterative peeling to
+        fixpoint).  Genuinely recursive -- no ANSI-SQL oracle exists, so
+        the driver records rows-only; semantics are pinned by a
+        brute-force peeling reference in pytest and an exact golden
+        gate at sf0.001 (test_golden_queries.py)."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
+        # k at 70% of average degree: peels a real fringe at every SF
+        # (a fixed k is either a no-op or empties the core as density
+        # grows with scale); one aggregate to size it, deterministic
+        avg_deg = (G.symmetrize(cooc).groupBy("src").count()
+                   .agg(F.avg("count")).first()[0])
+        k = max(2, int(0.7 * avg_deg))
+        return (G.k_core(cooc, k=k)
+                .select(F.col("node").cast("long").alias("node"), "degree")
+                .orderBy("node"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -972,6 +1058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_chunking": q62_chunking,
         "q63_percentiles": q63_percentiles,
         "q64_unigram_nll": q64_unigram_nll,
+        "q65_sample_per_group": q65_sample_per_group,
+        "q66_url_canonicalization": q66_url_canonicalization,
+        "q67_pii_density": q67_pii_density,
+        "q68_kcore": q68_kcore,
     }
 
 
@@ -1932,5 +2022,100 @@ def oracle_sql() -> dict[str, str]:
         FROM ex JOIN lm USING (token), stats
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+    # ---- q65: deterministic per-group k-sample -----------------------------
+    sql["q65_sample_per_group"] = """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+        WHERE rk <= 5
+        ORDER BY lang, doc_id
+    """
+
+    # ---- q66: canonical-URL normalization -----------------------------------
+    sql["q66_url_canonicalization"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   'HTTPS://Site' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.Example.COM'
+                   || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+                   || '/Docs/' || source
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '/?utm_source=feed&b=2&a=1'
+                           ELSE '?q=1' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+                       AS url
+            FROM documents),
+        c AS (SELECT doc_id,
+                     lower(regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                         '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+                     regexp_extract(url,
+                         '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u),
+        p AS (SELECT *,
+                     list_sort(list_filter(str_split(query, '&'),
+                         x -> x <> '' AND NOT regexp_matches(x,
+                             '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')))
+                         AS params
+              FROM c)
+        SELECT doc_id,
+               scheme || '://'
+               || (CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END)
+               || (CASE WHEN rawpath = '' THEN '/'
+                        WHEN len(rawpath) > 1
+                        THEN regexp_replace(rawpath, '/$', '')
+                        ELSE rawpath END)
+               || (CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&')
+                        ELSE '' END) AS canonical_url
+        FROM p
+        ORDER BY doc_id
+    """
+
+    # ---- q67: PII-density risk report ---------------------------------------
+    sql["q67_pii_density"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'reach user' || CAST(doc_id AS VARCHAR) || '@mail'
+                   || CAST(doc_id % 50 AS VARCHAR) || '.example.com '
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN 'ssn 123-45-6789 on file ' ELSE '' END
+                   || text AS t
+            FROM documents),
+        per AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS ne,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ns,
+                   CASE WHEN length(trim(t)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+                   END AS tok
+            FROM d),
+        scored AS (
+            SELECT doc_id, ne, ns,
+                   (ne + ns) * 100.0 / greatest(tok, 1) AS den
+            FROM per)
+        SELECT CASE WHEN den > 3.0 THEN 'high'
+                    WHEN den > 1.0 THEN 'medium'
+                    ELSE 'low' END AS risk,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(ns) AS BIGINT) AS n_ssns,
+               round(avg(round(den, 6)), 6) AS avg_density
+        FROM scored
+        GROUP BY 1 ORDER BY risk
     """
     return sql

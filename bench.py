@@ -189,7 +189,7 @@ def run_queries(spark, sf_dir: str) -> dict:
 
 
 def bench_once(master_cpus: int, mult: int, sf_dir: str,
-               with_queries: bool) -> dict:
+               with_queries: bool, with_dag: bool | None = None) -> dict:
     """Best-of-N trials for the KG job (N = $BENCH_TRIALS, default 2):
     single-run numbers on this shared sandbox vary ~20%; best-of is the
     standard way to report capability rather than noise."""
@@ -208,7 +208,9 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
         kg["trials"] = len(runs)
         queries = run_queries(spark, sf_dir) if with_queries else {}
         full_dag = {}
-        if with_queries:
+        if with_dag is None:
+            with_dag = with_queries
+        if with_dag:
             # best-of-2 with fresh checkpoint roots (a reused root would
             # resume instantly and measure nothing)
             dag_runs = []
@@ -234,20 +236,34 @@ def main():
         # half the machine.  Override with SCALING_LO / SCALING_HI.
         lo = int(os.environ.get("SCALING_LO", "2"))
         hi = int(os.environ.get("SCALING_HI", "8"))
-        r_lo = bench_once(lo, DOC_MULT, SF_DIR, with_queries=False)
-        r_hi = bench_once(hi, DOC_MULT, SF_DIR, with_queries=False)
+        with_dag = "--full-dag" in sys.argv
+        r_lo = bench_once(lo, DOC_MULT, SF_DIR, with_queries=False,
+                          with_dag=with_dag)
+        r_hi = bench_once(hi, DOC_MULT, SF_DIR, with_queries=False,
+                          with_dag=with_dag)
         tput_lo = r_lo["kg"]["docs_per_sec"]
         tput_hi = r_hi["kg"]["docs_per_sec"]
         eff = tput_hi / ((hi / lo) * tput_lo)
+        detail = {
+            f"local[{lo}]": r_lo["kg"], f"local[{hi}]": r_hi["kg"],
+            "throughput_lo_docs_per_sec": tput_lo,
+            "throughput_hi_docs_per_sec": tput_hi,
+        }
+        if with_dag:
+            # scaling of the ENTIRE checkpointed pipeline (all 7 stages
+            # incl. graph + salience), not just detect+triples
+            dag_lo = r_lo["full_dag"]["docs_per_sec"]
+            dag_hi = r_hi["full_dag"]["docs_per_sec"]
+            detail["full_dag"] = {
+                f"local[{lo}]": r_lo["full_dag"],
+                f"local[{hi}]": r_hi["full_dag"],
+                "efficiency": round(dag_hi / ((hi / lo) * dag_lo), 3),
+            }
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
-            "detail": {
-                f"local[{lo}]": r_lo["kg"], f"local[{hi}]": r_hi["kg"],
-                "throughput_lo_docs_per_sec": tput_lo,
-                "throughput_hi_docs_per_sec": tput_hi,
-            }}))
+            "detail": detail}))
         return
 
     res = bench_once(CPUS, DOC_MULT, SF_DIR, with_queries=True)

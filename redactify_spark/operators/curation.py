@@ -136,3 +136,17 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size(sliced).cast("long").alias("n_chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"))
+
+
+def sample_per_group(df: DataFrame, group_col: str, k: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic uniform k-sample per group: rank rows within each
+    group by md5(id) (a stable pseudo-random order) and keep the k
+    smallest.  The eval-set / debugging primitive next to
+    stratified_sample (that one keeps a RATE, this one a COUNT).  One
+    shuffle on the group key; the md5 order makes the choice
+    reproducible across runs, partitionings and engines."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

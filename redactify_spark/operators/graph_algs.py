@@ -253,3 +253,45 @@ def cooccurrence_pmi(df: DataFrame, group_col: str, item_col: str,
             .select("src", "dst", "n_pair",
                     F.log(F.col("n_pair").cast("double") * F.lit(n_groups)
                           / (F.col("_ms") * F.col("_md"))).alias("pmi")))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_iter: int = 100,
+           reliable_checkpoint: bool = False) -> DataFrame:
+    """(node, degree) of the k-core: the maximal subgraph where every
+    node has degree >= k, by iterative peeling (drop sub-k nodes,
+    recompute, repeat to fixpoint).  The density filter for KG noise
+    (entities only weakly attached to the graph peel away first).
+
+    Each round is one degree aggregation (map-side combinable) + two
+    semi-joins; lineage cut per round.  Rounds are bounded by the
+    peeling depth (typically << n; the 1e9-node web graph peels in tens
+    of rounds).  Raises after max_iter like connected_components --
+    loud, not silent."""
+    def cut(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if reliable_checkpoint
+                else df.localCheckpoint())
+
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionByName(edges.select(F.col(dst).alias("u"),
+                                     F.col(src).alias("v")))
+           .where(F.col("u") != F.col("v"))
+           .dropDuplicates(["u", "v"]))
+    sym = cut(sym)
+    n_prev = sym.select("u").distinct().count()
+    for _ in range(max_iter):
+        deg = sym.groupBy("u").agg(F.count("*").alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("u")
+        n_now = keep.count()
+        if n_now == 0:
+            return (sym.sparkSession.createDataFrame(
+                [], "node string, degree long"))
+        if n_now == n_prev:
+            return (deg.where(F.col("degree") >= k)
+                    .select(F.col("u").alias("node"),
+                            F.col("degree").cast("long").alias("degree")))
+        sym = (sym.join(keep, "u", "left_semi")
+               .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"))
+        sym = cut(sym)
+        n_prev = n_now
+    raise RuntimeError(f"k_core: no fixpoint after {max_iter} rounds")

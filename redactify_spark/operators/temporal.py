@@ -52,10 +52,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
 
     Right rows that tie on (key, ts) are broken by the LAST value in
     (ts, value) order -- pass a de-duplicated right side for fully pinned
-    semantics (the q55 oracle does)."""
+    semantics (the q55 oracle does).
+
+    Null timestamps: right rows with a null ts are dropped (they have no
+    position on the timeline to match from); left rows with a null ts
+    come back with a NULL match.  pandas.merge_asof refuses NaT outright
+    -- dropping-with-documented-semantics beats erroring in a pipeline
+    that sees dirty crawl data."""
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in (key_col, right_ts)]
+    right = right.where(F.col(right_ts).isNotNull())
     tagged_r = right.select(
         F.col(key_col).alias("_key"),
         F.col(right_ts).alias("_ts"),

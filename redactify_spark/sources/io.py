@@ -63,3 +63,45 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark) and "/" not in target:
         return spark.read.format("iceberg").load(target)
     return spark.read.parquet(target)
+
+
+def compact_table(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction for a parquet table directory: rewrite the
+    table into ceil(total_bytes / target_file_bytes) files and swap the
+    directory atomically (tmp write -> rename).  Returns
+    {files_before, files_after, bytes}.
+
+    Why it exists: a streaming/incremental pipeline (foreachBatch
+    appends, per-tranche stages) accretes thousands of KB-sized files;
+    at 10^12 rows the NameNode/manifest pressure and per-file open cost
+    dominate scan time long before the data does.  This is the parquet
+    analogue of Iceberg's rewrite_data_files maintenance action -- with
+    an Iceberg catalog, call that instead (snapshot-isolated, no
+    directory swap needed).
+
+    The swap is two renames (old -> trash, tmp -> path): readers racing
+    the swap see the old or the new listing, not a mix, on any
+    filesystem with atomic rename.  Object stores without atomic rename
+    need the Iceberg path."""
+    import math
+    import os
+    import shutil
+
+    files = [os.path.join(dp, f)
+             for dp, _, fs in os.walk(path) for f in fs
+             if f.endswith(".parquet")]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    trash = path.rstrip("/") + "__compact_trash"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    after = [f for dp, _, fs in os.walk(path) for f in fs
+             if f.endswith(".parquet")]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes": total}

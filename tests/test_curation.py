@@ -196,3 +196,22 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_sample_per_group_deterministic_count(spark):
+    from redactify_spark.operators.curation import sample_per_group
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = sorted((r.lang, r.doc_id)
+                for r in sample_per_group(docs, "lang", 7).collect())
+    s2 = sorted((r.lang, r.doc_id)
+                for r in sample_per_group(docs.repartition(13),
+                                          "lang", 7).collect())
+    assert s1 == s2
+    from collections import Counter
+    per = Counter(lang for lang, _ in s1)
+    assert per == {"en": 7, "de": 7}
+    # groups smaller than k keep everything
+    tiny = spark.createDataFrame([(1, "xx"), (2, "xx")],
+                                 "doc_id long, lang string")
+    assert sample_per_group(tiny, "lang", 7).count() == 2

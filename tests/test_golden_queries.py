@@ -25,6 +25,7 @@ GOLDEN = {
     "q35_graph_nodes": ("8575ce00485f3564ccc01a51a7d01fae", 50),
     "q36_minhash_dedup": ("9f012236c53c95b667844384c52f4833", 28),
     "q37_simhash_pairs": ("6a9baae649b9200db6a6ff724f33eebe", 488),
+    "q68_kcore": ("4c0f46dff50aa24fcf720a1b00a843ca", 193),
 }
 
 

@@ -132,3 +132,41 @@ def test_pagerank_weighted_parallel_edges_summed(spark):
     a = sorted(map(tuple, G.pagerank(e1, weight="weight").collect()))
     b = sorted(map(tuple, G.pagerank(e2, weight="weight").collect()))
     assert a == b
+
+
+def _brute_k_core(pairs, k):
+    """Independent pure-Python peeling reference."""
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_triangle_with_tail(spark):
+    # triangle 1-2-3 with tail 3-4-5: 2-core = the triangle
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    out = {r.node: r.degree for r in G.k_core(e, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core is empty
+    assert G.k_core(e, 3).count() == 0
+
+
+def test_k_core_matches_brute_force_random(spark):
+    import random
+    rng = random.Random(11)
+    pairs = list({tuple(sorted((rng.randint(0, 30), rng.randint(0, 30))))
+                  for _ in range(120)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    for k in (2, 3, 4):
+        expected = _brute_k_core(pairs, k)
+        got = {r.node: r.degree
+               for r in G.k_core(_edges(spark, pairs), k).collect()}
+        assert got == expected, k

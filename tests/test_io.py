@@ -15,3 +15,18 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert back.count() == 100
     assert {r.url for r in back.select("url").distinct().collect()} == \
         {f"u{i}" for i in range(7)}
+
+
+def test_compact_table_preserves_content(spark, tmp_path):
+    from redactify_spark.sources.io import compact_table
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "v")
+    df.repartition(64).write.parquet(p)
+    import os
+    before = sum(f.endswith(".parquet")
+                 for _, _, fs in os.walk(p) for f in fs)
+    assert before == 64
+    h_before = sorted(r.v for r in spark.read.parquet(p).collect())
+    stats = compact_table(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64 and stats["files_after"] == 1
+    assert sorted(r.v for r in spark.read.parquet(p).collect()) == h_before

@@ -126,3 +126,17 @@ def test_session_stats(spark):
            for r in TP.session_stats(ev, gap_minutes=30.0).collect()}
     assert out == {(1, 0): (2, 600_000_000, 3.0),
                    (1, 1): (2, 300_000_000, 12.0)}
+
+
+def test_asof_null_timestamps(spark):
+    """Null-ts right rows never match; null-ts left rows get NULL."""
+    q = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(5), 11.0)],
+        "user_id long, ts timestamp, price double")
+    t = spark.createDataFrame(
+        [(0, 1, _ts(4)), (1, 1, _ts(6)), (2, 1, None)],
+        "trade_id long, user_id long, ts timestamp")
+    out = {r.trade_id: r.price_asof
+           for r in TP.asof_join(t, q, "user_id",
+                                 value_cols=["price"]).collect()}
+    assert out == {0: None, 1: 11.0, 2: None}

@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--dedup-urls", action="store_true",
+                    help="canonical-URL recrawl dedup before detection "
+                         "(keep newest snapshot per canonical url)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -47,6 +50,9 @@ def main(argv=None):
         pages = synth_pages(spark, args.synth)
     else:
         pages = spark.read.parquet(args.input)
+    if args.dedup_urls:
+        from redactify_spark.operators.urls import dedup_pages_by_url
+        pages = dedup_pages_by_url(pages).drop("canonical_url")
     pages = extract_text_column(pages).localCheckpoint()
 
     ckpt = args.checkpoint or (args.output.rstrip("/") + "_ckpt")
@@ -54,6 +60,8 @@ def main(argv=None):
     out["nodes"].write.mode("overwrite").parquet(args.output + "/nodes")
     out["edges"].write.mode("overwrite").parquet(args.output + "/edges")
     out["triples"].write.mode("overwrite").parquet(args.output + "/triples")
+    out["salience"].write.mode("overwrite").parquet(
+        args.output + "/salience")
 
     summary = {
         "n_pages": pages.count(),
