@@ -225,3 +225,59 @@ def test_session_stream_gap_and_timeout_closures(spark, tmp_path):
         (r.user_id, r.n_events, r.total_value)
         for r in TP.session_stats(all_events, gap_minutes=30.0).collect()}
     assert {(u, n, v) for u, _, _, n, v in got} <= batch_sessions
+
+
+def test_stream_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the canonical URL: recrawls
+    inside the horizon are suppressed across micro-batches."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redactify_spark.streaming.ingest import dedup_pages_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        tbl = pa.table({
+            "url": pa.array(pdf["url"], pa.string()),
+            "warc_ts": pa.array(
+                pd.to_datetime(pdf["warc_ts"]).dt.tz_localize("UTC"),
+                pa.timestamp("us", tz="UTC")),
+            "text": pa.array(pdf["text"], pa.string()),
+        })
+        path = str(tmp_path / "pg" / name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    m = dt.timedelta(minutes=1)
+    write_batch("b1.parquet", [
+        ("https://example.com/a?utm_source=x", t0, "a1"),
+        ("https://other.com/b", t0, "b1"),
+    ], 1_000)
+    write_batch("b2.parquet", [
+        ("HTTPS://EXAMPLE.com/a", t0 + 5 * m, "a2-recrawl"),   # dup of a1
+        ("https://third.com/c", t0 + 5 * m, "c1"),
+    ], 2_000)
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "pg")))
+    q = (dedup_pages_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("pages_dedup")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from pages_dedup").collect()
+    texts = {r.text for r in rows}
+    # the recrawl is suppressed; three distinct canonical urls survive
+    assert "a2-recrawl" not in texts
+    assert texts == {"a1", "b1", "c1"}
+    assert len({r.canonical_url for r in rows}) == 3
