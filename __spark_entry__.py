@@ -947,6 +947,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("node").cast("long").alias("node"), "degree")
                 .orderBy("node"))
 
+    def q69_dup_windows(spark, sf):
+        """Repeated 8-token windows across the corpus (the exact-
+        substring-dedup signal, Lee et al. 2022): md5-compressed keys,
+        map-side-combinable occurrence count, two-phase distinct doc
+        count."""
+        d = _t(spark, sf, "documents")
+        return (D.duplicated_ngram_windows(d, n=8, min_count=3)
+                .orderBy("window_md5"))
+
+    def q70_boilerplate_removal(spark, sf):
+        """CCNet/C4-style boilerplate line removal over synthesized
+        multi-line pages (injected universal header/footer must vanish,
+        per-doc unique lines must survive in order)."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        multi = d.select(
+            "doc_id",
+            F.concat(F.lit("Subscribe to our newsletter\n"),
+                     F.col("text"),
+                     F.lit("\nCopyright 2024 Example Corp"),
+                     F.when(F.col("doc_id") % 2 == 0,
+                            F.concat(F.lit("\nunique-"),
+                                     F.col("doc_id").cast("string")))
+                     .otherwise(F.lit(""))).alias("text"))
+        n = multi.count()
+        out = CU.remove_boilerplate_lines(multi, n_docs=n,
+                                          min_doc_frac=0.05)
+        return (out.select("doc_id", "n_lines_kept",
+                           F.md5("text").alias("text_md5"))
+                .orderBy("doc_id"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -1062,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_url_canonicalization": q66_url_canonicalization,
         "q67_pii_density": q67_pii_density,
         "q68_kcore": q68_kcore,
+        "q69_dup_windows": q69_dup_windows,
+        "q70_boilerplate_removal": q70_boilerplate_removal,
     }
 
 
@@ -2117,5 +2150,67 @@ def oracle_sql() -> dict[str, str]:
                round(avg(round(den, 6)), 6) AS avg_density
         FROM scored
         GROUP BY 1 ORDER BY risk
+    """
+
+    # ---- q69: repeated n-token windows (exact-substring-dedup signal) ------
+    sql["q69_dup_windows"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        wins AS (
+            SELECT doc_id,
+                   CASE WHEN len(tokens) < 8 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(
+                            generate_series(1, len(tokens) - 7),
+                            i -> md5(array_to_string(
+                                list_slice(tokens, i, i + 7), ' ')))
+                   END AS ws
+            FROM toks),
+        ex AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+        occ AS (SELECT w, CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM ex GROUP BY w),
+        pd AS (SELECT w, CAST(count(*) AS BIGINT) AS n_docs
+               FROM (SELECT DISTINCT w, doc_id FROM ex) GROUP BY w)
+        SELECT occ.w AS window_md5, n_occurrences, n_docs
+        FROM occ JOIN pd USING (w)
+        WHERE n_occurrences >= 3
+        ORDER BY window_md5
+    """
+
+    # ---- q70: boilerplate line removal --------------------------------------
+    sql["q70_boilerplate_removal"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'Subscribe to our newsletter' || chr(10) || text
+                   || chr(10) || 'Copyright 2024 Example Corp'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'unique-'
+                                || CAST(doc_id AS VARCHAR)
+                           ELSE '' END AS t
+            FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        ls AS (SELECT doc_id, str_split(t, chr(10)) AS lines FROM d),
+        pos AS (SELECT doc_id, u.pos AS pos, u.line AS line
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(lines)),
+                                 i -> {'pos': i, 'line': lines[i]})) AS u
+                      FROM ls)),
+        boiler AS (SELECT line
+                   FROM (SELECT DISTINCT line, doc_id FROM pos)
+                   GROUP BY line
+                   HAVING count(*) > 0.05 * (SELECT n FROM n)),
+        kept AS (SELECT p.doc_id, p.pos, p.line
+                 FROM pos p ANTI JOIN boiler b ON p.line = b.line)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+               md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+        FROM kept
+        GROUP BY doc_id
+        ORDER BY doc_id
     """
     return sql

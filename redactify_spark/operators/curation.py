@@ -150,3 +150,47 @@ def sample_per_group(df: DataFrame, group_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(h, id_col)
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def line_doc_frequencies(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(line, n_docs): how many documents contain each exact line.
+    Distinct over the uniform (line, doc) key first, then a map-side-
+    combinable count -- no hot-line reducer."""
+    lines = docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.col(text_col), "\n"))
+                        .alias("line"))
+    return (lines.dropDuplicates(["line", "doc_id"])
+            .groupBy("line")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def remove_boilerplate_lines(docs: DataFrame, n_docs: int,
+                             min_doc_frac: float = 0.05,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet/C4-style boilerplate removal: delete every line that
+    appears in more than `min_doc_frac` of the corpus (cookie banners,
+    nav text, footers), preserving the order of surviving lines.
+    Documents whose every line is boilerplate are dropped.
+
+    posexplode -> broadcast-sized anti-join against the boilerplate
+    line set -> per-doc ordered reassembly (sort_array over (pos, line)
+    structs -- inside the aggregation, no window).  `n_docs` is passed
+    in (computed once upstream): no per-call count scan."""
+    threshold = min_doc_frac * n_docs
+    boiler = (line_doc_frequencies(docs, text_col, id_col)
+              .where(F.col("n_docs") > threshold)
+              .select("line"))
+    pos_lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    kept = pos_lines.join(boiler, "line", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias("text"),
+                F.count("*").cast("long").alias("n_lines_kept")))

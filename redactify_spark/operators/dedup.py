@@ -665,3 +665,36 @@ def dedup_embeddings(embeddings: DataFrame, threshold: float = 0.95,
             .where(F.col("node").cast("long") != F.col("keep"))
             .select(F.col("node").cast("long").alias(id_col)))
     return embeddings.join(drop, id_col, "left_anti")
+
+
+def duplicated_ngram_windows(docs: DataFrame, n: int = 8,
+                             min_count: int = 2, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(window_md5, n_occurrences, n_docs): n-token windows repeated
+    across the corpus -- the signal behind exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022: memorization tracks repeated spans, not just repeated
+    documents).  Fully native.
+
+    Scale shape: windows are md5-compressed BEFORE the shuffle (16-byte
+    keys, not 8-token strings); n_occurrences is a map-side-combinable
+    count; n_docs uses the two-phase pattern (distinct over the uniform
+    (window, doc) key first, then a combinable count) so a boilerplate
+    window present on 10^10 pages never funnels raw rows to one
+    reducer."""
+    toks = _native_tokens(F.col(text_col))
+    wins = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " "))))
+    exploded = docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(wins).alias("w"))
+    occ = exploded.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_occurrences"))
+    per_doc = (exploded.dropDuplicates(["w", "doc_id"])
+               .groupBy("w").agg(F.count("*").cast("long").alias("n_docs")))
+    return (occ.join(per_doc, "w")
+            .where(F.col("n_occurrences") >= min_count)
+            .select(F.col("w").alias("window_md5"),
+                    "n_occurrences", "n_docs"))

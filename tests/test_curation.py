@@ -215,3 +215,20 @@ def test_sample_per_group_deterministic_count(spark):
     tiny = spark.createDataFrame([(1, "xx"), (2, "xx")],
                                  "doc_id long, lang string")
     assert sample_per_group(tiny, "lang", 7).count() == 2
+
+
+def test_remove_boilerplate_lines(spark):
+    from redactify_spark.operators.curation import remove_boilerplate_lines
+    rows = [(i, f"HEADER\nbody {i} line one\nbody {i} line two\nFOOTER")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_lines_kept, r.text)
+           for r in remove_boilerplate_lines(
+               docs, n_docs=20, min_doc_frac=0.5).collect()}
+    assert out[3] == (2, "body 3 line one\nbody 3 line two")
+    assert all(v[0] == 2 for v in out.values())
+    # a doc that is ALL boilerplate disappears
+    plus = docs.union(spark.createDataFrame(
+        [(99, "HEADER\nFOOTER")], "doc_id long, text string"))
+    out2 = remove_boilerplate_lines(plus, n_docs=21, min_doc_frac=0.5)
+    assert 99 not in {r.doc_id for r in out2.collect()}

@@ -480,3 +480,23 @@ def test_unigram_nll_oov_scores_higher(spark):
     out = {r.doc_id: r.nll
            for r in X.unigram_nll(held, lm, int(total), vocab).collect()}
     assert out[2] > out[1]
+
+
+def test_duplicated_ngram_windows(spark):
+    import hashlib
+    shared = "one two three four five six seven eight"  # one 8-window
+    rows = [(0, shared + " tail0"), (1, shared + " tail1"),
+            (2, shared + " " + shared),  # window twice in one doc? no --
+            # tokens: 16 of the same words -> the shared window recurs
+            (3, "totally different words here with no repeats at all x")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.window_md5: (r.n_occurrences, r.n_docs)
+           for r in D.duplicated_ngram_windows(d, n=8,
+                                               min_count=2).collect()}
+    key = hashlib.md5(shared.encode()).hexdigest()
+    occ, ndocs = out[key]
+    # docs 0,1 contain it once each; doc 2's doubled text contains the
+    # window at positions 1 and 9 (plus 7 straddling windows)
+    assert occ == 4 and ndocs == 3
+    # n_docs never exceeds n_occurrences, and every window repeated
+    assert all(o >= 2 and nd <= o for o, nd in out.values())
