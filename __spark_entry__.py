@@ -978,6 +978,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.md5("text").alias("text_md5"))
                 .orderBy("doc_id"))
 
+    def q71_quantized_ann(spark, sf):
+        """ANN over int8-quantized embeddings (4x less scan/shuffle at
+        100 TB; cosine is scale-invariant so no dequantization): exact
+        int dot products, broadcast 1-row query, top-10."""
+        e = _t(spark, sf, "embeddings")
+        qt = S.quantize_embeddings(e)
+        qrow = qt.where("vec_id = 0").select(F.col("qvec").alias("q"))
+        dot = F.aggregate(
+            F.zip_with("qvec", "q",
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        norm = lambda c: F.sqrt(F.aggregate(
+            c, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        return (qt.crossJoin(F.broadcast(qrow))
+                .select("vec_id",
+                        (dot / (norm(F.col("qvec")) * norm(F.col("q"))))
+                        .alias("_cos"))
+                .orderBy(F.col("_cos").desc(), "vec_id").limit(10)
+                .select("vec_id", F.round("_cos", 6).alias("cos"))
+                .orderBy(F.col("cos").desc(), "vec_id"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -1095,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_kcore": q68_kcore,
         "q69_dup_windows": q69_dup_windows,
         "q70_boilerplate_removal": q70_boilerplate_removal,
+        "q71_quantized_ann": q71_quantized_ann,
     }
 
 
@@ -2212,5 +2235,33 @@ def oracle_sql() -> dict[str, str]:
         FROM kept
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+    # ---- q71: int8-quantized ANN --------------------------------------------
+    sql["q71_quantized_ann"] = f"""
+        WITH qt AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)
+                            / (CASE WHEN amax > 0.0 THEN amax / 127.0
+                                    ELSE 1.0 END) + 0.5) AS INT)) AS qvec
+            FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) AS amax
+                  FROM embeddings)),
+        qq AS (SELECT qvec AS q FROM qt WHERE vec_id = 0)
+        SELECT vec_id, round(c, 6) AS cos
+        FROM (SELECT t.vec_id,
+                     list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                         i -> CAST(t.qvec[i] AS DOUBLE)
+                              * CAST(qq.q[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(t.qvec,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(qq.q,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                         AS c
+              FROM qt t, qq
+              ORDER BY c DESC, t.vec_id LIMIT 10)
+        ORDER BY cos DESC, vec_id
     """
     return sql

@@ -500,3 +500,33 @@ def test_duplicated_ngram_windows(spark):
     assert occ == 4 and ndocs == 3
     # n_docs never exceeds n_occurrences, and every window repeated
     assert all(o >= 2 and nd <= o for o, nd in out.values())
+
+
+# --- int8 quantization ----------------------------------------------------
+
+def test_quantize_embeddings_bounds_and_zero(spark):
+    rows = [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (list(r.qvec), r.scale)
+           for r in S.quantize_embeddings(df).collect()}
+    q0, s0 = out[0]
+    assert s0 == pytest.approx(1.0 / 127)
+    assert q0 == [64, -127, 32]           # floor(x/scale + 0.5)
+    assert all(-127 <= v <= 127 for v in q0)
+    assert out[1] == ([0, 0, 0], 1.0)     # zero vector: scale 1.0
+
+
+def test_quantized_recall_vs_float(spark, embeddings):
+    """int8 cosine top-10 recalls >=0.9 of the float top-10 (real
+    embeddings, not a synthetic easy case)."""
+    qvec = embeddings.where("vec_id = 7").first().embedding
+    exact = [r.vec_id
+             for r in S.brute_force_topk(embeddings, list(qvec),
+                                         k=10).collect()]
+    qt = S.quantize_embeddings(embeddings)
+    qrow = qt.where("vec_id = 7").first()
+    approx = [r.vec_id
+              for r in S.quantized_topk(qt, list(qrow.qvec),
+                                        k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
