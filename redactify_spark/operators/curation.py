@@ -139,16 +139,26 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 
 
 def sample_per_group(df: DataFrame, group_col: str, k: int,
-                     id_col: str = "doc_id") -> DataFrame:
-    """Deterministic uniform k-sample per group: rank rows within each
-    group by md5(id) (a stable pseudo-random order) and keep the k
-    smallest.  The eval-set / debugging primitive next to
-    stratified_sample (that one keeps a RATE, this one a COUNT).  One
-    shuffle on the group key; the md5 order makes the choice
-    reproducible across runs, partitionings and engines."""
+                     id_col: str = "doc_id", n_salt: int = 16) -> DataFrame:
+    """Deterministic uniform k-sample per group: the k rows with the
+    smallest md5(id) (a stable pseudo-random order) per group.  The
+    eval-set / debugging primitive next to stratified_sample (that one
+    keeps a RATE, this one a COUNT); reproducible across runs,
+    partitionings and engines.
+
+    Two-phase against hot groups: a single window over the raw group
+    key would sort a 10^10-row group in one reducer.  Phase 1 keeps the
+    k smallest per (group, salt-of-id) -- n_salt-way parallel; phase 2
+    re-ranks the <= k*n_salt survivors per group (driver-scale per
+    group).  The global k smallest always survive phase 1, so the
+    result is identical to the naive single window."""
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(h, id_col)
-    return (df.withColumn("_rk", F.row_number().over(w))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(group_col, salt).orderBy(h, id_col)
+    survivors = (df.withColumn("_rk1", F.row_number().over(w1))
+                 .where(F.col("_rk1") <= k).drop("_rk1"))
+    w2 = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (survivors.withColumn("_rk", F.row_number().over(w2))
             .where(F.col("_rk") <= k).drop("_rk"))
 
 
