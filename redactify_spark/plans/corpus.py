@@ -1,0 +1,84 @@
+"""The checkpointed TRAINING-CORPUS pipeline -- the second flagship DAG
+next to the KG build (plans/checkpoint.py::kg_pipeline).
+
+raw documents -> exact dedup -> MinHash near-dedup -> boilerplate line
+removal -> quality gate (heuristics + Gopher rules) -> deterministic
+train/holdout split -> token-window chunking, every stage persisted
+through run_stage (manifest + lineage + resume), so a 100-TB curation
+job killed at any stage resumes from the last complete table.
+
+Stage order rationale:
+- exact dedup first: it is the cheapest volume reducer (one combinable
+  shuffle) and shrinks every later stage;
+- near-dedup before quality: quality scoring is per-doc work, no reason
+  to score documents the near-dup pass will drop;
+- boilerplate removal before quality: banner/footer lines distort the
+  quality features they feed (symbol ratio, repetition);
+- split before chunking: the holdout must be held out at DOCUMENT
+  granularity (chunk-level splits leak overlapping windows of the same
+  document across the boundary -- the classic eval-contamination bug).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redactify_spark.plans.checkpoint import run_stage
+
+
+def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
+                    near_dup_threshold: float = 0.7,
+                    min_quality: float = 0.5,
+                    boiler_frac: float = 0.05,
+                    holdout_pct: int = 10,
+                    chunk_tokens: int = 256,
+                    chunk_overlap: int = 32,
+                    gopher_kwargs: dict | None = None
+                    ) -> dict[str, DataFrame]:
+    """docs(doc_id, text, ...) -> curated chunk table, checkpointed."""
+    from redactify_spark.operators import curation as CU
+    from redactify_spark.operators import dedup as D
+    from redactify_spark.operators import textstats as X
+
+    exact = run_stage(spark, root, "01_exact_dedup",
+                      lambda: D.dedup_exact(docs))
+    near = run_stage(spark, root, "02_near_dedup",
+                     lambda: D.dedup_minhash(exact,
+                                             threshold=near_dup_threshold))
+
+    def _boiler():
+        n = near.count()
+        cleaned = CU.remove_boilerplate_lines(near, n_docs=n,
+                                              min_doc_frac=boiler_frac)
+        # re-attach passthrough columns the reassembly dropped
+        others = [c for c in near.columns if c not in ("text",)]
+        return (near.select(*others)
+                .join(cleaned.select("doc_id", "text", "n_lines_kept"),
+                      "doc_id"))
+
+    clean = run_stage(spark, root, "03_boilerplate", _boiler)
+
+    def _quality():
+        # Gopher-style rule thresholds are corpus-tuned in practice
+        # (the published values target Common Crawl prose; a different
+        # corpus passes its own bounds via gopher_kwargs)
+        feats = X.quality_features(clean, passthrough=("lang", "text"))
+        rules = (X.gopher_rules(clean, **(gopher_kwargs or {}))
+                 .select("doc_id", "gopher_pass"))
+        return (feats.join(rules, "doc_id")
+                .where((F.col("quality_score") >= min_quality)
+                       & F.col("gopher_pass")))
+
+    gated = run_stage(spark, root, "04_quality", _quality)
+    split = run_stage(spark, root, "05_split",
+                      lambda: CU.deterministic_split(gated, holdout_pct))
+
+    def _chunks():
+        train = split.where(F.col("split") == "train")
+        return CU.chunk_documents(train, chunk_tokens=chunk_tokens,
+                                  overlap=chunk_overlap)
+
+    chunks = run_stage(spark, root, "06_chunks", _chunks)
+    return {"exact": exact, "near": near, "clean": clean,
+            "gated": gated, "split": split, "chunks": chunks}
