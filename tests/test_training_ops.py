@@ -530,3 +530,34 @@ def test_quantized_recall_vs_float(spark, embeddings):
                                         k=10).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Dirty-crawl rows (null / empty / whitespace text) flow through
+    every native text operator without errors or spurious output."""
+    from redactify_spark.operators import curation as CU
+    dirty = spark.createDataFrame(
+        [(0, None, "en"), (1, "", "en"), (2, "   ", "de"),
+         (3, "real text with several words here", "en")],
+        "doc_id long, text string, lang string")
+
+    # chunking: nothing for null/empty/blank
+    assert {r.doc_id for r in CU.chunk_documents(dirty).collect()} == {3}
+    # tfidf: only the real doc produces keywords
+    assert {r.doc_id for r in X.tfidf_topk(dirty, k=2).collect()} == {3}
+    # unigram LM: null/empty contribute no tokens, scoring skips them
+    lm = X.fit_unigram_lm(dirty)
+    assert lm.count() == 6
+    scored = X.unigram_nll(dirty, lm, 6, 6)
+    assert {r.doc_id for r in scored.collect()} == {3}
+    # native LSH families: null/empty hash to the empty-gram set and
+    # pair with each other (deterministically), never crash
+    pairs = D.minhash_native_pairs(dirty, threshold=0.5).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert 3 not in ids
+    sh = D.doc_simhash_native(dirty).collect()
+    assert len(sh) == 4
+    # boilerplate removal treats null text as empty (doc drops out)
+    out = CU.remove_boilerplate_lines(dirty, n_docs=4, min_doc_frac=0.9)
+    kept = {r.doc_id for r in out.collect()}
+    assert 3 in kept and 0 not in kept
