@@ -189,3 +189,25 @@ def _entity_salience(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .select("canon_id", "type", "n_mentions", "n_docs",
                     F.round(F.coalesce("rank", F.lit(0.15)), 6)
                     .alias("salience")))
+
+
+def pipeline_report(spark: SparkSession, root: str) -> DataFrame:
+    """All stage manifests under `root` as one DataFrame -- the
+    monitoring/lineage view of a pipeline run (stage, rows, wall, hash,
+    per-file lineage count).  Reads only the tiny manifest JSONs."""
+    import glob
+
+    rows = []
+    for mp in sorted(glob.glob(os.path.join(root, "**", "_manifest.json"),
+                               recursive=True)):
+        with open(mp) as f:
+            m = json.load(f)
+        rel = os.path.relpath(os.path.dirname(mp), root)
+        rows.append((rel, m.get("stage", rel),
+                     int(m.get("row_count", -1)),
+                     float(m.get("wall_time_sec", -1.0)),
+                     str(m.get("content_hash", "")),
+                     len(m.get("partitions", {}))))
+    return spark.createDataFrame(
+        rows, "path string, stage string, row_count long, "
+              "wall_time_sec double, content_hash string, n_partitions long")

@@ -99,3 +99,15 @@ def test_content_hash_partition_invariant(spark):
     df = spark.range(1000).withColumnRenamed("id", "x")
     assert CP.content_hash(df.repartition(2)) == \
         CP.content_hash(df.repartition(16))
+
+
+def test_pipeline_report_covers_all_stages(spark, root):
+    pages = synth_pages(spark, 24, partitions=2).localCheckpoint()
+    CP.kg_pipeline(spark, pages, root, id_col="url")
+    rep = CP.pipeline_report(spark, root)
+    stages = {r.stage for r in rep.collect()}
+    assert {"01_mentions", "02_triples", "03_match_edges", "04_canonical",
+            "05_nodes", "06_edges", "07_salience"} <= stages
+    rows = rep.collect()
+    assert all(r.row_count >= 0 and r.wall_time_sec > 0
+               and r.n_partitions >= 1 for r in rows)
