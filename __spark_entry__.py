@@ -691,8 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         pairs = D.simhash_native_pairs(d, max_hamming=10)
         edges = pairs.select(
-            F.lpad(F.col("id_a").cast("string"), 12, "0").alias("key_a"),
-            F.lpad(F.col("id_b").cast("string"), 12, "0").alias("key_b"))
+            F.lpad(F.col("id_a").cast("string"), 20, "0").alias("key_a"),
+            F.lpad(F.col("id_b").cast("string"), 20, "0").alias("key_b"))
         comp = connected_components(edges)
         return (comp.select(F.col("node").cast("long").alias("node"),
                             F.col("component").cast("long")
@@ -2008,7 +2008,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q61_stratified_sample"] = """
         WITH s AS (
             SELECT * FROM documents
-            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            WHERE CAST(('0x' || substr(md5('strat:'
+                            || CAST(doc_id AS VARCHAR)), 1, 4))
                        AS INT) % 100
                   < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                               WHEN 'fr' THEN 10 ELSE 5 END)

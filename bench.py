@@ -185,7 +185,9 @@ def run_corpus_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
     from redactify_spark.plans.corpus import corpus_pipeline
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    copies = [base.select((F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+    # collision-free replica ids at ANY base size: doc_id*mult + i (the
+    # same scheme as _pages), so keep-min-id dedup always prefers copy 0
+    copies = [base.select((F.col("doc_id") * mult + i).alias("doc_id"),
                           "lang", "source", "text") for i in range(mult)]
     docs = copies[0]
     for c in copies[1:]:

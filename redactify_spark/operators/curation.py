@@ -91,9 +91,15 @@ def stratified_sample(docs: DataFrame, strata_col: str,
     reruns keep their samples).  The standard corpus-mixing primitive
     (e.g. downsample boilerplate-heavy domains, upweight rare languages
     by sampling others down).  Zero shuffles: a literal CASE lookup plus
-    a hash filter, fully pushdown-friendly."""
-    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
-                     16, 10).cast("int") % 100)
+    a hash filter, fully pushdown-friendly.
+
+    The hash is purpose-prefixed ('strat:' || id): deterministic_split
+    hashes the bare id, and sharing the bucket stream would CORRELATE
+    the two primitives (a 10% holdout of a 50%-rate sample would come
+    out 20%, or 100% of a 5%-rate stratum)."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string"))),
+        1, 4), 16, 10).cast("int") % 100)
     rate = F.lit(default_pct)
     for stratum, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)) \

@@ -390,8 +390,10 @@ def wide_minhash_bucket_count(docs: DataFrame, text_col: str = "text",
                               n_bands: int = MINHASH_NATIVE_BANDS,
                               max_bucket: int = MAX_BUCKET) -> int:
     """Metric: LSH buckets dropped by the width cap (no silent caps)."""
-    bands = _minhash_native_bands(doc_minhash_native(docs, text_col, k),
-                                  n_bands)
+    # persist=False: the metric consumes the signatures in one action,
+    # caching them would only leak executor storage
+    bands = _minhash_native_bands(
+        doc_minhash_native(docs, text_col, k, persist=False), n_bands)
     return (bands.groupBy("band", "v0", "v1").count()
             .where(F.col("count") > max_bucket).count())
 
@@ -427,6 +429,11 @@ def minhash_native_pairs(docs: DataFrame, text_col: str = "text",
       surface the count via wide_minhash_bucket_count.
     - verify joins the stored distinct gram-hash sets back by id (two
       hash joins) and computes |intersect| / |union| natively."""
+    if n_hashes < 2 * n_bands:
+        # element_at past the signature returns NULL (non-ANSI): bands
+        # would silently never join.  Fail loudly instead.
+        raise ValueError(
+            f"n_hashes={n_hashes} must be >= 2*n_bands={2 * n_bands}")
     sigs = doc_minhash_native(docs, text_col, k, n_hashes)
     bands = _minhash_native_bands(sigs, n_bands)
     sized = bands.withColumn(

@@ -151,7 +151,11 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     (each node's out-degree is bounded by ~sqrt(m)).  On degree-uniform
     graphs (the sf0.1 part co-order graph: avg deg 120, max 222) the
     gain is modest (~1.3x); the orientation exists for the power-law
-    case, where it is the difference between running and not."""
+    case, where it is the difference between running and not.
+
+    The canonical/oriented edge frames stay persisted for the returned
+    lazy plan's lifetime; long-lived drivers should
+    spark.catalog.clearCache() between unrelated analyses."""
     canon = (edges.select(
         F.least(F.col(src), F.col(dst)).alias("u"),
         F.greatest(F.col(src), F.col(dst)).alias("v"))
@@ -229,7 +233,16 @@ def cooccurrence_pmi(df: DataFrame, group_col: str, item_col: str,
     marginals (items-per-group counts) are one map-side-combinable
     aggregation; the marginal table is item-vocabulary-sized and joins
     back by key.  `min_pair_count` prunes the noise tail BEFORE the
-    marginal joins."""
+    marginal joins.
+
+    Cap semantics: marginals are computed over the UNCAPPED pairs (the
+    true item frequencies -- that is the PMI definition), while pair
+    counts can only come from cap-surviving groups.  For pairs whose
+    co-occurrences live mostly in over-wide groups the reported PMI is
+    therefore a LOWER BOUND (never inflated); capped-group counts are
+    observable via wide_cooccurrence_group_count.  The persisted pairs
+    frame lives until the caller clears it (spark.catalog.clearCache()
+    in long-lived drivers)."""
     pairs = df.select(F.col(group_col).alias("_g"),
                       F.col(item_col).alias("_i")).distinct()
     pairs = pairs.persist()
@@ -284,8 +297,11 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         keep = deg.where(F.col("degree") >= k).select("u")
         n_now = keep.count()
         if n_now == 0:
-            return (sym.sparkSession.createDataFrame(
-                [], "node string, degree long"))
+            # empty result with the caller's node type (not a hardcoded
+            # string schema)
+            return (deg.where(F.lit(False))
+                    .select(F.col("u").alias("node"),
+                            F.col("degree").cast("long").alias("degree")))
         if n_now == n_prev:
             return (deg.where(F.col("degree") >= k)
                     .select(F.col("u").alias("node"),

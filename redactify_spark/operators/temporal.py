@@ -50,9 +50,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     checks).  `tolerance_us` nulls matches older than the given
     microseconds (merge_asof's `tolerance`).
 
-    Right rows that tie on (key, ts) are broken by the LAST value in
-    (ts, value) order -- pass a de-duplicated right side for fully pinned
-    semantics (the q55 oracle does).
+    Right rows that tie on (key, ts) are broken to the MAX (ts, values)
+    struct -- pass a de-duplicated right side for fully pinned semantics
+    (q55's events fixture has unique (user, ts) pairs, verified).
+    Because the sweep orders by that struct, value columns must be
+    ORDERABLE types (maps are not; wrap them on the right side first).
 
     Null timestamps: right rows with a null ts are dropped (they have no
     position on the timeline to match from); left rows with a null ts

@@ -63,7 +63,10 @@ def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
         # Gopher-style rule thresholds are corpus-tuned in practice
         # (the published values target Common Crawl prose; a different
         # corpus passes its own bounds via gopher_kwargs)
-        feats = X.quality_features(clean, passthrough=("lang", "text"))
+        # pass through whatever columns the corpus actually has (a docs
+        # table without 'lang' must not crash stage 04 mid-pipeline)
+        extra = tuple(c for c in clean.columns if c != "doc_id")
+        feats = X.quality_features(clean, passthrough=extra)
         rules = (X.gopher_rules(clean, **(gopher_kwargs or {}))
                  .select("doc_id", "gopher_pass"))
         return (feats.join(rules, "doc_id")

@@ -98,10 +98,12 @@ def current_kept(spark: SparkSession, root: str,
     dedup_minhash over the union -- same edges, same CC)."""
     from redactify_spark.operators.components import connected_components
     edges = _union_stage_tables(spark, root, "edges")
+    # 20-digit padding: int64 ids reach 19 digits; lpad TRUNCATES when
+    # the input exceeds the pad width, which would merge unrelated ids
     comp = connected_components(
-        edges.select(F.lpad(F.col("id_a").cast("string"), 12, "0")
+        edges.select(F.lpad(F.col("id_a").cast("string"), 20, "0")
                      .alias("key_a"),
-                     F.lpad(F.col("id_b").cast("string"), 12, "0")
+                     F.lpad(F.col("id_b").cast("string"), 20, "0")
                      .alias("key_b")))
     rep = comp.groupBy("component").agg(
         F.min(F.col("node").cast("long")).alias("keep_id"))

@@ -80,13 +80,23 @@ def compact_table(spark: SparkSession, path: str,
     an Iceberg catalog, call that instead (snapshot-isolated, no
     directory swap needed).
 
-    The swap is two renames (old -> trash, tmp -> path): readers racing
-    the swap see the old or the new listing, not a mix, on any
-    filesystem with atomic rename.  Object stores without atomic rename
-    need the Iceberg path."""
+    The swap is two renames (old -> trash, tmp -> path).  Each rename is
+    atomic, but the pair is not: a reader racing the swap can hit a
+    missing directory for the instant between them, and a crash in that
+    window leaves the data parked in `<path>__compact_trash` -- this
+    function auto-recovers that state on its next invocation (rename
+    trash back before compacting).  It is a SINGLE-WRITER maintenance
+    op; for concurrent readers/writers use Iceberg's rewrite_data_files
+    (snapshot-isolated) instead."""
     import math
     import os
     import shutil
+
+    trash = path.rstrip("/") + "__compact_trash"
+    # crash recovery: a previous run that died between its two renames
+    # left the table in trash -- restore it before doing anything
+    if not os.path.exists(path) and os.path.exists(trash):
+        os.rename(trash, path)
 
     files = [os.path.join(dp, f)
              for dp, _, fs in os.walk(path) for f in fs
@@ -95,7 +105,6 @@ def compact_table(spark: SparkSession, path: str,
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
-    trash = path.rstrip("/") + "__compact_trash"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(trash, ignore_errors=True)
     os.rename(path, trash)

@@ -30,3 +30,22 @@ def test_compact_table_preserves_content(spark, tmp_path):
     stats = compact_table(spark, p, target_file_bytes=1 << 30)
     assert stats["files_before"] == 64 and stats["files_after"] == 1
     assert sorted(r.v for r in spark.read.parquet(p).collect()) == h_before
+
+
+def test_compact_table_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table in trash;
+    the next invocation restores it before compacting."""
+    import os
+    import shutil
+
+    from redactify_spark.sources.io import compact_table
+    p = str(tmp_path / "t")
+    spark.range(0, 100).withColumnRenamed("id", "v") \
+        .repartition(8).write.parquet(p)
+    # simulate the crash window: table renamed to trash, no new table
+    os.rename(p, p + "__compact_trash")
+    assert not os.path.exists(p)
+    stats = compact_table(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "__compact_trash")

@@ -561,3 +561,8 @@ def test_null_and_empty_text_robustness(spark):
     out = CU.remove_boilerplate_lines(dirty, n_docs=4, min_doc_frac=0.9)
     kept = {r.doc_id for r in out.collect()}
     assert 3 in kept and 0 not in kept
+
+
+def test_minhash_native_rejects_short_signature(spark, docs):
+    with pytest.raises(ValueError):
+        D.minhash_native_pairs(docs, n_hashes=16, n_bands=16)
