@@ -387,6 +387,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 4).alias("sum_value"))
                 .orderBy("hour", "event_type"))
 
+    def q72_sliding_window(spark, sf):
+        """SLIDING-window aggregation (10-min windows, 5-min slide --
+        each event lands in exactly two windows): the hopping-window
+        semantics of Structured Streaming, checked in batch form against
+        a DuckDB oracle that materializes both candidate windows per
+        event."""
+        ev = _t(spark, sf, "events")
+        w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+        return (ev.groupBy(w.alias("w"), "event_type")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.col("w.start").alias("w_start"), "event_type",
+                        "n", "sum_value")
+                .orderBy("w_start", "event_type"))
+
     def q21_multi_join(spark, sf):
         """3-way join customer->nation->region + agg (join reordering is
         Catalyst's problem, not ours)."""
@@ -1118,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_dup_windows": q69_dup_windows,
         "q70_boilerplate_removal": q70_boilerplate_removal,
         "q71_quantized_ann": q71_quantized_ann,
+        "q72_sliding_window": q72_sliding_window,
     }
 
 
@@ -2264,5 +2280,30 @@ def oracle_sql() -> dict[str, str]:
               FROM qt t, qq
               ORDER BY c DESC, t.vec_id LIMIT 10)
         ORDER BY cos DESC, vec_id
+    """
+
+    # ---- q72: sliding-window aggregation ------------------------------------
+    # Every event belongs to exactly two 10-min/5-min-slide windows:
+    # start = its 5-min grid point, and that minus 5 minutes.
+    sql["q72_sliding_window"] = """
+        WITH g AS (
+            SELECT event_type, value, ts,
+                   date_trunc('hour', ts)
+                   + CAST(floor(extract('minute' FROM ts) / 5) * 5 AS INT)
+                     * INTERVAL 1 MINUTE AS grid
+            FROM events),
+        wins AS (
+            SELECT event_type, value,
+                   grid - o.off * INTERVAL 1 MINUTE AS w_start
+            FROM g, (SELECT unnest([0, 5]) AS off) o
+            WHERE ts >= grid - o.off * INTERVAL 1 MINUTE
+              AND ts < grid - o.off * INTERVAL 1 MINUTE
+                       + INTERVAL 10 MINUTE)
+        SELECT w_start, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM wins
+        GROUP BY w_start, event_type
+        ORDER BY w_start, event_type
     """
     return sql
