@@ -556,6 +556,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").cast("long").alias("n"))
                 .orderBy("entity_group", "detector"))
 
+    def q73_mention_contexts(spark, sf):
+        """NER fine-tuning data export: mention +/- context window with
+        in-context span offsets (context[ctx_start:ctx_end] == surface,
+        pytest-pinned).  Kernel-dependent -> rows-only; exact golden
+        gate at sf0.001."""
+        from redactify_spark.operators.detection import (detect_mentions,
+                                                         mention_contexts)
+        pages = _pages_from_documents(spark, sf).where(F.col("doc_id") < 300)
+        m = detect_mentions(pages, id_col="doc_id", text_col="text")
+        return (mention_contexts(m, pages, window_chars=32)
+                .select("doc_id", "entity_group", "surface",
+                        F.md5("context").alias("context_md5"),
+                        "ctx_start", "ctx_end")
+                .orderBy("doc_id", "ctx_start", "entity_group", "surface"))
+
     def q31_triples(spark, sf):
         from redactify_spark.operators.detection import detect_mentions
         from redactify_spark.operators.triples import all_triples
@@ -1134,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_boilerplate_removal": q70_boilerplate_removal,
         "q71_quantized_ann": q71_quantized_ann,
         "q72_sliding_window": q72_sliding_window,
+        "q73_mention_contexts": q73_mention_contexts,
     }
 
 

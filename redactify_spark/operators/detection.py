@@ -150,3 +150,26 @@ def anonymize_documents(df: DataFrame,
                                 "n_entities": n_ents})
 
     return df.select(id_col, text_col).mapInPandas(rewrite, schema=out_schema)
+
+
+def mention_contexts(mentions: DataFrame, pages: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     window_chars: int = 48) -> DataFrame:
+    """NER fine-tuning data export: each mention with +/- window_chars
+    of surrounding text and the span position WITHIN that context (so a
+    token-classification trainer can build BIO labels directly).
+
+    One equi-join back to the pages table (mentions carry only offsets,
+    not text -- the join pays for context exactly once, at export time)
+    plus native substring arithmetic; no Python.  Output columns
+    ctx_start/ctx_end are 0-based within `context`, i.e.
+    context[ctx_start:ctx_end] == surface (pytest-pinned)."""
+    m = mentions.select(id_col, "entity_group", "surface", "start", "end")
+    p = pages.select(id_col, F.col(text_col).alias("_text"))
+    c0 = F.greatest(F.col("start") - window_chars, F.lit(0))
+    c1 = F.least(F.col("end") + window_chars, F.length("_text"))
+    return (m.join(p, id_col)
+            .select(id_col, "entity_group", "surface",
+                    F.col("_text").substr(c0 + 1, c1 - c0).alias("context"),
+                    (F.col("start") - c0).cast("int").alias("ctx_start"),
+                    (F.col("end") - c0).cast("int").alias("ctx_end")))

@@ -117,3 +117,25 @@ def test_max_text_len_guard(spark):
               detect_mentions(df, max_text_len=30).collect()}
     assert "early@a.co" in full and "late@z.co" in full
     assert "early@a.co" in capped and "late@z.co" not in capped
+
+
+def test_mention_contexts_span_alignment(spark):
+    """context[ctx_start:ctx_end] == surface for every mention, and the
+    window clamps correctly at text boundaries."""
+    from redactify_spark.operators.detection import (detect_mentions,
+                                                     mention_contexts)
+    rows = [
+        (0, "mail me at alice@example.com today"),               # interior
+        (1, "bob@site.org starts this document with an email"),  # at start
+        (2, "the document ends with carol@host.net"),            # at end
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    mentions = detect_mentions(pages)
+    ctx = mention_contexts(mentions, pages, window_chars=10)
+    got = ctx.collect()
+    assert got
+    texts = dict(rows)
+    for r in got:
+        assert r.context[r.ctx_start:r.ctx_end] == r.surface, r
+        assert r.context in texts[r.doc_id]
+        assert len(r.context) <= len(r.surface) + 20
