@@ -176,9 +176,13 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3,
     """(doc_id, token, tf, tfidf): top-k keywords per document by
     smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing),
     deterministic tiebreak (tfidf desc, token asc).  Fully native:
-    explode -> two map-side-combinable aggregations -> broadcast-sized
+    explode -> two map-side-combinable aggregations -> vocabulary-sized
     df join -> per-doc window top-k.  The widest shuffle is keyed by
-    (doc, token); the document-frequency table is vocabulary-sized.
+    (doc, token).  The df join's token key is Zipf-skewed (a stopword's
+    multiplicity approaches n_docs); AQE's skew-join split (enabled in
+    plans/session.py) is the intended mitigation -- at web scale also
+    consider dropping the df > 50% head BEFORE the join, which cannot
+    be a keyword anyway.
 
     `n_docs`: pass the known corpus size to avoid the extra count scan
     (the ANN-hygiene rule); None counts once."""
@@ -228,7 +232,9 @@ def unigram_nll(docs: DataFrame, lm: DataFrame, total_tokens: int,
     boilerplate in another register): the perplexity quality gate.
 
     Shape: explode -> join against the vocabulary-sized LM table (left,
-    so OOV scores) -> one map-side-combinable per-doc aggregation.
+    so OOV scores) -> one map-side-combinable per-doc aggregation.  The
+    token join key is Zipf-skewed like tfidf_topk's; AQE skew-join
+    splits the stopword partitions.
     `total_tokens` / `vocab_size` are passed in (computed once when the
     LM is fit) -- no per-call count scans (the ANN-hygiene rule).
     Zero-token documents emit nothing."""
