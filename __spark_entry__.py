@@ -402,6 +402,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n", "sum_value")
                 .orderBy("w_start", "event_type"))
 
+    def q74_stats_profile(spark, sf):
+        """Statistical corpus profile per language: Pearson correlation
+        between declared length and measured token count, sample stddev
+        and variance -- Spark's corr/stddev_samp/var_samp match DuckDB's
+        definitions exactly (sample, n-1 denominators)."""
+        d = _t(spark, sf, "documents")
+        toks = X.token_count_expr(F.col("text")).cast("double")
+        return (d.select("lang", F.col("n_chars").cast("double")
+                         .alias("_c"), toks.alias("_t"))
+                .groupBy("lang")
+                .agg(F.round(F.corr("_c", "_t"), 6).alias("corr_chars_toks"),
+                     F.round(F.stddev_samp("_t"), 4).alias("sd_tokens"),
+                     F.round(F.var_samp("_c"), 4).alias("var_chars"),
+                     F.count("*").cast("long").alias("n"))
+                .orderBy("lang"))
+
     def q21_multi_join(spark, sf):
         """3-way join customer->nation->region + agg (join reordering is
         Catalyst's problem, not ours)."""
@@ -1150,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_quantized_ann": q71_quantized_ann,
         "q72_sliding_window": q72_sliding_window,
         "q73_mention_contexts": q73_mention_contexts,
+        "q74_stats_profile": q74_stats_profile,
     }
 
 
@@ -2321,5 +2338,22 @@ def oracle_sql() -> dict[str, str]:
         FROM wins
         GROUP BY w_start, event_type
         ORDER BY w_start, event_type
+    """
+
+    # ---- q74: statistical corpus profile ------------------------------------
+    sql["q74_stats_profile"] = """
+        WITH t AS (
+            SELECT lang, CAST(n_chars AS DOUBLE) AS c,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\\s+'))
+                        END AS DOUBLE) AS tok
+            FROM documents)
+        SELECT lang,
+               round(corr(c, tok), 6) AS corr_chars_toks,
+               round(stddev_samp(tok), 4) AS sd_tokens,
+               round(var_samp(c), 4) AS var_chars,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY lang ORDER BY lang
     """
     return sql
