@@ -418,6 +418,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").cast("long").alias("n"))
                 .orderBy("lang"))
 
+    def q75_pivot(spark, sf):
+        """PIVOT: documents cross-tabulated lang x source (explicit
+        value list so the plan is a single pass, no distinct-scan;
+        oracle = conditional aggregation)."""
+        d = _t(spark, sf, "documents")
+        srcs = ["src0", "src1", "src2", "src3"]
+        return (d.groupBy("lang")
+                .pivot("source", srcs)
+                .agg(F.count(F.lit(1)))
+                .select("lang", *[F.coalesce(F.col(s), F.lit(0))
+                                  .cast("long").alias(f"n_{s}")
+                                  for s in srcs])
+                .orderBy("lang"))
+
+    def q76_unpivot(spark, sf):
+        """UNPIVOT/melt: wide per-doc quality features back to long
+        (feature, value) form -- the inverse reshape, stack()-based."""
+        d = _t(spark, sf, "documents")
+        feats = X.quality_features(d).where(F.col("doc_id") < 100)
+        return (feats.select(
+                    "doc_id",
+                    F.expr("stack(2, 'n_tokens', CAST(n_tokens AS DOUBLE), "
+                           "'quality_score', CAST(quality_score AS DOUBLE)) "
+                           "AS (feature, value)"))
+                .select("doc_id", "feature", F.round("value", 6)
+                        .alias("value"))
+                .orderBy("doc_id", "feature"))
+
     def q21_multi_join(spark, sf):
         """3-way join customer->nation->region + agg (join reordering is
         Catalyst's problem, not ours)."""
@@ -1167,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_sliding_window": q72_sliding_window,
         "q73_mention_contexts": q73_mention_contexts,
         "q74_stats_profile": q74_stats_profile,
+        "q75_pivot": q75_pivot,
+        "q76_unpivot": q76_unpivot,
     }
 
 
@@ -2355,5 +2385,30 @@ def oracle_sql() -> dict[str, str]:
                round(var_samp(c), 4) AS var_chars,
                CAST(count(*) AS BIGINT) AS n
         FROM t GROUP BY lang ORDER BY lang
+    """
+
+    # ---- q75: pivot (cross-tab) ---------------------------------------------
+    sql["q75_pivot"] = """
+        SELECT lang,
+               CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS n_src0,
+               CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS n_src1,
+               CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS n_src2,
+               CAST(count(*) FILTER (source = 'src3') AS BIGINT) AS n_src3
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    # ---- q76: unpivot/melt --------------------------------------------------
+    sql["q76_unpivot"] = f"""
+        WITH feat AS ({_feat_cte('documents')})
+        SELECT doc_id, feature, round(value, 6) AS value
+        FROM (
+            SELECT doc_id, 'n_tokens' AS feature,
+                   CAST(n_tokens AS DOUBLE) AS value
+            FROM feat WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id, 'quality_score',
+                   CAST(quality_score AS DOUBLE)
+            FROM feat WHERE doc_id < 100)
+        ORDER BY doc_id, feature
     """
     return sql
