@@ -446,6 +446,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("value"))
                 .orderBy("doc_id", "feature"))
 
+    def q77_interval_join(spark, sf):
+        """Point-in-interval join via bin blocking (equi-join on the
+        time bin + exact range filter -- never BroadcastNestedLoop,
+        plan-asserted): events landing in each signup's 2-hour window."""
+        from redactify_spark.operators import temporal as TP
+        ev = _t(spark, sf, "events")
+        iv = (ev.where(F.col("event_type") == "signup")
+              .select(F.col("event_id").alias("iv_id"),
+                      F.col("ts").alias("start"),
+                      (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                      .alias("end")))
+        pts = ev.select("event_id", "ts", "value")
+        j = TP.interval_join(pts, iv, bin_minutes=60)
+        return (j.groupBy("iv_id")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value"))
+                .orderBy("iv_id"))
+
     def q21_multi_join(spark, sf):
         """3-way join customer->nation->region + agg (join reordering is
         Catalyst's problem, not ours)."""
@@ -1197,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_stats_profile": q74_stats_profile,
         "q75_pivot": q75_pivot,
         "q76_unpivot": q76_unpivot,
+        "q77_interval_join": q77_interval_join,
     }
 
 
@@ -2410,5 +2429,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quality_score AS DOUBLE)
             FROM feat WHERE doc_id < 100)
         ORDER BY doc_id, feature
+    """
+
+    # ---- q77: point-in-interval join ---------------------------------------
+    sql["q77_interval_join"] = """
+        WITH iv AS (SELECT event_id AS iv_id, ts AS s,
+                           ts + INTERVAL 2 HOUR AS e
+                    FROM events WHERE event_type = 'signup'),
+        p AS (SELECT event_id, ts, value FROM events)
+        SELECT iv_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM iv JOIN p ON iv.s <= p.ts AND p.ts < iv.e
+        GROUP BY iv_id ORDER BY iv_id
     """
     return sql

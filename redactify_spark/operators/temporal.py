@@ -138,3 +138,52 @@ def session_stats(events: DataFrame, key_col: str = "user_id",
                   - F.unix_micros(F.min(ts_col).cast("timestamp")))
                  .alias("duration_us"),
                  F.round(F.sum(value_col), 2).alias("total_value")))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", bin_minutes: int = 60,
+                  max_bins_per_interval: int = 1000) -> DataFrame:
+    """Point-in-interval join ([start, end) semantics) as an EQUI-join:
+    each point maps to its one time bin, each interval explodes to the
+    bins it covers, the join runs on the bin key and the exact range
+    predicate filters inside the matched bins.
+
+    Why: Spark plans a raw `start <= ts AND ts < end` join as
+    BroadcastNestedLoopJoin -- a full cross product per partition, the
+    classic range-join scale-killer.  Bin blocking turns it into one
+    shuffle keyed by bin; each pair is found exactly once (a point
+    lives in exactly one bin), so no dedup pass.  Pick `bin_minutes`
+    near the median interval length; intervals covering more than
+    `max_bins_per_interval` bins are dropped and counted
+    (wide_interval_count) -- an unbounded interval would otherwise
+    explode to every bin in the corpus."""
+    bin_us = bin_minutes * 60_000_000
+    p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    p = points.withColumn("_bin", F.floor(p_us / bin_us))
+    iv = (intervals
+          .withColumn("_b0", F.floor(s_us / bin_us))
+          .withColumn("_b1", F.floor(e_us / bin_us))
+          .where(F.col("_b1") - F.col("_b0") < max_bins_per_interval)
+          .withColumn("_bin", F.explode(F.sequence("_b0", "_b1")))
+          .drop("_b0", "_b1"))
+    return (p.join(iv, "_bin")
+            .where((F.unix_micros(F.col(start_col).cast("timestamp"))
+                    <= F.unix_micros(F.col(ts_col).cast("timestamp")))
+                   & (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      < F.unix_micros(F.col(end_col).cast("timestamp"))))
+            .drop("_bin"))
+
+
+def wide_interval_count(intervals: DataFrame, start_col: str = "start",
+                        end_col: str = "end", bin_minutes: int = 60,
+                        max_bins_per_interval: int = 1000) -> int:
+    """Metric: intervals dropped by the bin-span cap (no silent caps)."""
+    bin_us = bin_minutes * 60_000_000
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    return (intervals
+            .where(F.floor(e_us / bin_us) - F.floor(s_us / bin_us)
+                   >= max_bins_per_interval).count())

@@ -133,3 +133,12 @@ def test_q64_unigram_join_is_vocabulary_sized(spark, qs):
     plan = plan_of(qs["q64_unigram_nll"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_q77_interval_join_no_nested_loop(spark, qs):
+    """The bin-blocked interval join must never fall back to
+    BroadcastNestedLoop/cartesian -- that is its entire reason to
+    exist."""
+    plan = plan_of(qs["q77_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

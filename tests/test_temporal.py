@@ -140,3 +140,55 @@ def test_asof_null_timestamps(spark):
            for r in TP.asof_join(t, q, "user_id",
                                  value_cols=["price"]).collect()}
     assert out == {0: None, 1: 11.0, 2: None}
+
+
+def test_interval_join_boundaries_and_cap(spark):
+    from redactify_spark.operators.temporal import (interval_join,
+                                                    wide_interval_count)
+    iv = spark.createDataFrame(
+        [(0, _ts(0), _ts(30)),           # [10:00, 10:30)
+         (1, _ts(45), _ts(50))],         # [10:45, 10:50)
+        "iv_id long, start timestamp, end timestamp")
+    pts = spark.createDataFrame(
+        [(0, _ts(0)),        # == start -> IN (inclusive)
+         (1, _ts(29, 59)),   # just inside
+         (2, _ts(30)),       # == end -> OUT (exclusive)
+         (3, _ts(46)),       # second interval
+         (4, _ts(59))],      # no interval
+        "pid long, ts timestamp")
+    out = {(r.pid, r.iv_id)
+           for r in interval_join(pts, iv, bin_minutes=15).collect()}
+    assert out == {(0, 0), (1, 0), (3, 1)}
+
+    # an interval spanning more bins than the cap is dropped + counted
+    import datetime as dt
+    wide = spark.createDataFrame(
+        [(9, _ts(0), dt.datetime(2024, 1, 30))],
+        "iv_id long, start timestamp, end timestamp")
+    assert wide_interval_count(wide, bin_minutes=15,
+                               max_bins_per_interval=100) == 1
+    assert interval_join(pts, wide, bin_minutes=15,
+                         max_bins_per_interval=100).count() == 0
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bin-blocked result == the naive range join on a random fixture,
+    for bin widths smaller and larger than the intervals."""
+    import datetime as dt
+    import random
+    rng = random.Random(3)
+    base = dt.datetime(2024, 1, 1)
+    iv = [(i, base + dt.timedelta(minutes=rng.randint(0, 2000)), None)
+          for i in range(30)]
+    iv = [(i, s, s + dt.timedelta(minutes=rng.randint(1, 180)))
+          for i, s, _ in iv]
+    pts = [(j, base + dt.timedelta(minutes=rng.randint(0, 2200)))
+           for j in range(300)]
+    ivd = spark.createDataFrame(iv, "iv_id long, start timestamp, end timestamp")
+    ptd = spark.createDataFrame(pts, "pid long, ts timestamp")
+    want = {(p, i) for i, s, e in iv for p, t in pts if s <= t < e}
+    for bins in (7, 60, 600):
+        from redactify_spark.operators.temporal import interval_join
+        got = {(r.pid, r.iv_id)
+               for r in interval_join(ptd, ivd, bin_minutes=bins).collect()}
+        assert got == want, bins
