@@ -1092,6 +1092,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("_cos", 6).alias("cos"))
                 .orderBy(F.col("cos").desc(), "vec_id"))
 
+    def q78_weighted_sample(spark, sf):
+        """Efraimidis-Spirakis weighted 5-sample per language (selection
+        probability proportional to n_chars), deterministic md5-derived
+        uniforms, salted two-phase top-k."""
+        from redactify_spark.operators import curation as CU
+        d = _t(spark, sf, "documents")
+        return (CU.weighted_sample_per_group(d, "lang", 5, "n_chars")
+                .select("lang", "doc_id")
+                .orderBy("lang", "doc_id"))
+
     def q47_corpus_prep(spark, sf):
         """Corpus curation first pass: exact dedup (keep min doc_id per
         content hash) -> quality gate -> per-language token totals.
@@ -1216,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_pivot": q75_pivot,
         "q76_unpivot": q76_unpivot,
         "q77_interval_join": q77_interval_join,
+        "q78_weighted_sample": q78_weighted_sample,
     }
 
 
@@ -2441,5 +2452,23 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM iv JOIN p ON iv.s <= p.ts AND p.ts < iv.e
         GROUP BY iv_id ORDER BY iv_id
+    """
+
+    # ---- q78: weighted sampling (Efraimidis-Spirakis) ----------------------
+    sql["q78_weighted_sample"] = """
+        WITH w AS (
+            SELECT lang, doc_id,
+                   ln((CAST(('0x' || substr(md5('ws:'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)
+                   / n_chars AS k
+            FROM documents WHERE n_chars > 0)
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY k DESC, doc_id) AS rk
+            FROM w)
+        WHERE rk <= 5
+        ORDER BY lang, doc_id
     """
     return sql

@@ -210,3 +210,33 @@ def remove_boilerplate_lines(docs: DataFrame, n_docs: int,
                     lambda s: s["line"]),
                 "\n").alias("text"),
                 F.count("*").cast("long").alias("n_lines_kept")))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str, k: int,
+                              weight_col: str, id_col: str = "doc_id",
+                              n_salt: int = 16) -> DataFrame:
+    """Deterministic weighted k-sample WITHOUT replacement per group
+    (Efraimidis-Spirakis): selection probability proportional to
+    `weight_col`.  Each row gets u ~ Uniform(0,1) derived from
+    md5('ws:' || id) and sort key ln(u)/w (the monotone log transform
+    of u^(1/w)); the k LARGEST keys per group win.  No RNG state --
+    reproducible across runs, partitionings and engines; the 'ws:'
+    prefix decorrelates from deterministic_split / stratified_sample.
+
+    The quality-proportional corpus-mixing primitive (sample harder
+    from high-quality strata without hard thresholds).  Rows with
+    weight <= 0 are never selected.  Same salted two-phase top-k as
+    sample_per_group: no hot group ever sorts on one reducer."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))),
+        1, 8), 16, 10).cast("double") + 0.5) / F.lit(float(1 << 32)))
+    key = F.log(u) / F.col(weight_col)
+    pos = df.where(F.col(weight_col) > 0).withColumn("_k", key)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(group_col, salt).orderBy(
+        F.col("_k").desc(), id_col)
+    survivors = (pos.withColumn("_r1", F.row_number().over(w1))
+                 .where(F.col("_r1") <= k).drop("_r1"))
+    w2 = Window.partitionBy(group_col).orderBy(F.col("_k").desc(), id_col)
+    return (survivors.withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= k).drop("_r2", "_k"))

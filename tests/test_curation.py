@@ -232,3 +232,25 @@ def test_remove_boilerplate_lines(spark):
         [(99, "HEADER\nFOOTER")], "doc_id long, text string"))
     out2 = remove_boilerplate_lines(plus, n_docs=21, min_doc_frac=0.5)
     assert 99 not in {r.doc_id for r in out2.collect()}
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from redactify_spark.operators.curation import weighted_sample_per_group
+    # two weight classes: w=9 vs w=1 -> heavy rows should dominate
+    rows = [(i, "g", 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    s1 = sorted(r.doc_id for r in
+                weighted_sample_per_group(docs, "g", 200, "w").collect())
+    s2 = sorted(r.doc_id for r in
+                weighted_sample_per_group(docs.repartition(11), "g", 200,
+                                          "w").collect())
+    assert s1 == s2 and len(s1) == 200
+    heavy = sum(1 for d in s1 if d % 2 == 0)
+    # E[heavy] ~ 180 under w=9:1; require clearly-above-uniform
+    assert heavy > 150, heavy
+    # zero/negative weights are never selected
+    docs2 = spark.createDataFrame(
+        [(0, "g", 0.0), (1, "g", -1.0), (2, "g", 1.0)],
+        "doc_id long, g string, w double")
+    assert [r.doc_id for r in
+            weighted_sample_per_group(docs2, "g", 5, "w").collect()] == [2]
