@@ -464,6 +464,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("value"), 2).alias("sum_value"))
                 .orderBy("iv_id"))
 
+    def q79_intersect(spark, sf):
+        """INTERSECT set op (the one q22 didn't cover): users active in
+        the crawl's first week AND its last week (retention set)."""
+        ev = _t(spark, sf, "events")
+        wk1 = (ev.where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+               .select("user_id"))
+        wk4 = (ev.where(F.col("ts") >= F.lit("2024-01-24")
+                        .cast("timestamp"))
+               .select("user_id"))
+        return wk1.intersect(wk4).orderBy("user_id")
+
     def q21_multi_join(spark, sf):
         """3-way join customer->nation->region + agg (join reordering is
         Catalyst's problem, not ours)."""
@@ -1227,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_unpivot": q76_unpivot,
         "q77_interval_join": q77_interval_join,
         "q78_weighted_sample": q78_weighted_sample,
+        "q79_intersect": q79_intersect,
     }
 
 
@@ -2470,5 +2482,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w)
         WHERE rk <= 5
         ORDER BY lang, doc_id
+    """
+
+    # ---- q79: INTERSECT -----------------------------------------------------
+    sql["q79_intersect"] = """
+        SELECT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        ORDER BY user_id
     """
     return sql
