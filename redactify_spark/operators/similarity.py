@@ -273,7 +273,8 @@ def quantize_embeddings(embeddings: DataFrame,
     staged = embeddings.select(F.col(id_col).alias("vec_id"),
                                v.alias("_v"), scale.alias("_scale"))
     if persist:
-        staged = staged.persist()
+        # lazy localCheckpoint barrier, GC-scoped (see dedup.py)
+        staged = staged.localCheckpoint(eager=False)
     qvec = F.transform(
         F.col("_v"), lambda x: F.floor(x.cast("double") / F.col("_scale")
                                        + 0.5).cast("int"))

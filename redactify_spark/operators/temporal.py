@@ -155,9 +155,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     shuffle keyed by bin; each pair is found exactly once (a point
     lives in exactly one bin), so no dedup pass.  Pick `bin_minutes`
     near the median interval length; intervals covering more than
-    `max_bins_per_interval` bins are dropped and counted
-    (wide_interval_count) -- an unbounded interval would otherwise
-    explode to every bin in the corpus."""
+    `max_bins_per_interval` bins, and intervals with a NULL start or
+    end (the bin-span predicate evaluates to NULL), are dropped and
+    counted (wide_interval_count) -- an unbounded interval would
+    otherwise explode to every bin in the corpus."""
     bin_us = bin_minutes * 60_000_000
     p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
@@ -180,10 +181,13 @@ def interval_join(points: DataFrame, intervals: DataFrame,
 def wide_interval_count(intervals: DataFrame, start_col: str = "start",
                         end_col: str = "end", bin_minutes: int = 60,
                         max_bins_per_interval: int = 1000) -> int:
-    """Metric: intervals dropped by the bin-span cap (no silent caps)."""
+    """Metric: intervals dropped by interval_join (no silent caps) --
+    both span > cap AND null-bound intervals, which the join's bin-span
+    predicate silently evaluates to NULL and drops."""
     bin_us = bin_minutes * 60_000_000
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
-    return (intervals
-            .where(F.floor(e_us / bin_us) - F.floor(s_us / bin_us)
-                   >= max_bins_per_interval).count())
+    too_wide = F.floor(e_us / bin_us) - F.floor(s_us / bin_us) \
+        >= max_bins_per_interval
+    null_bound = F.col(start_col).isNull() | F.col(end_col).isNull()
+    return intervals.where(too_wide | null_bound).count()

@@ -47,7 +47,9 @@ def canonical_url_expr(url: Column) -> Column:
             .when(F.length(rawpath) > 1,
                   F.regexp_replace(rawpath, r"/$", "")) \
             .otherwise(rawpath)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # Anchor before the fragment: a '?' INSIDE the fragment
+    # ('/p#sec?x=1') is not a query string and must not resurrect one.
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
     params = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING)))

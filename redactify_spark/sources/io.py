@@ -90,7 +90,21 @@ def compact_table(spark: SparkSession, path: str,
     (snapshot-isolated) instead."""
     import math
     import os
+    import re
     import shutil
+
+    # LOCAL-FS ONLY: the walk/rename swap below uses POSIX os calls.
+    # Pointed at hdfs://, s3a://, etc. it would see zero files and
+    # destructively "compact" nothing -- fail loudly instead.  (On a
+    # real cluster use Iceberg rewrite_data_files, or port this to the
+    # Hadoop FileSystem API.)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"compact_table only supports local paths, got scheme "
+            f"{m.group(1)!r} -- use Iceberg rewrite_data_files for "
+            f"remote filesystems")
+    path = re.sub(r"^file://", "", path)
 
     trash = path.rstrip("/") + "__compact_trash"
     # crash recovery: a previous run that died between its two renames

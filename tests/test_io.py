@@ -49,3 +49,12 @@ def test_compact_table_recovers_from_crashed_swap(spark, tmp_path):
     assert stats["files_after"] == 1
     assert spark.read.parquet(p).count() == 100
     assert not os.path.exists(p + "__compact_trash")
+
+
+def test_compact_table_rejects_remote_scheme(spark):
+    import pytest
+    from redactify_spark.sources.io import compact_table
+    with pytest.raises(ValueError, match="local paths"):
+        compact_table(spark, "s3a://bucket/table")
+    with pytest.raises(ValueError, match="local paths"):
+        compact_table(spark, "hdfs://nn:8020/warehouse/t")

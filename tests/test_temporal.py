@@ -192,3 +192,22 @@ def test_interval_join_matches_theta_join(spark):
         got = {(r.pid, r.iv_id)
                for r in interval_join(ptd, ivd, bin_minutes=bins).collect()}
         assert got == want, bins
+
+
+def test_wide_interval_count_includes_null_bounds(spark):
+    """Null-bound intervals are dropped by the join's bin-span predicate;
+    the metric must count them (no silent caps)."""
+    from redactify_spark.operators.temporal import (interval_join,
+                                                    wide_interval_count)
+    iv = spark.createDataFrame(
+        [(0, _ts(0), _ts(30)),
+         (1, None, _ts(30)),
+         (2, _ts(0), None)],
+        "iv_id long, start timestamp, end timestamp")
+    pts = spark.createDataFrame([(0, _ts(5))], "pid long, ts timestamp")
+    # the null-bound intervals match nothing...
+    assert {(r.pid, r.iv_id)
+            for r in interval_join(pts, iv, bin_minutes=15).collect()} \
+        == {(0, 0)}
+    # ...and both are counted as dropped
+    assert wide_interval_count(iv, bin_minutes=15) == 2

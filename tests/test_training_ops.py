@@ -631,3 +631,13 @@ def test_hf_backend_loader_wiring_with_stub_transformers(monkeypatch):
     finally:
         kernel.set_ner_backend(None)
         kernel.set_ner_batch_backend(None)
+
+
+def test_wide_minhash_bucket_count_band_guard(spark):
+    """n_hashes < 2*n_bands would read NULL past the signature and
+    silently undercount -- must raise like minhash_native_pairs."""
+    import pytest
+    from redactify_spark.operators.dedup import wide_minhash_bucket_count
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_bands"):
+        wide_minhash_bucket_count(docs, n_hashes=8, n_bands=16)

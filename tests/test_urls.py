@@ -57,3 +57,16 @@ def test_dedup_pages_keeps_newest_snapshot(spark):
         rows, "url string, warc_ts timestamp, text string")
     kept = {r.text for r in U.dedup_pages_by_url(pages).collect()}
     assert kept == {"new", "only"}
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    """A '?' inside the fragment must not resurrect a query string
+    (ADVICE r2): '/p#sec?x=1' and '/p' are the same resource."""
+    df = spark.createDataFrame(
+        [("http://ex.com/p#sec?x=1",),
+         ("http://ex.com/p",),
+         ("http://ex.com/p?a=1#sec?x=2",)], "url string")
+    out = [r.canonical_url for r in U.with_canonical_url(df).collect()]
+    assert out[0] == "http://ex.com/p"
+    assert out[1] == "http://ex.com/p"
+    assert out[2] == "http://ex.com/p?a=1"
