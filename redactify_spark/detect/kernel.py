@@ -584,26 +584,29 @@ def try_load_hf_backend(model_name: str =
     nlp = pipeline("ner", model=model_name, aggregation_strategy="simple",
                    device=-1)
 
-    def _conv(items) -> list[dict]:
-        return [{
-            "entity_group": str(it.get("entity_group", "UNKNOWN")),
-            "start": int(it.get("start", 0)),
-            "end": int(it.get("end", 0)),
-            "score": float(it.get("score", 0.0)),
-            "word": it.get("word", ""),
-        } for it in items]
-
     def backend(text: str) -> list[dict]:
-        return _conv(nlp(text))
+        return _conv_hf(nlp(text))
 
     def batch_backend(texts: list[str]) -> list[list[dict]]:
         # HF pipelines accept a list: tokenization + forward passes are
         # batched across the whole Arrow batch (the north-star shape)
-        return [_conv(items) for items in nlp(list(texts), batch_size=32)]
+        return [_conv_hf(items) for items in nlp(list(texts), batch_size=32)]
 
     set_ner_backend(backend)
     set_ner_batch_backend(batch_backend)
     return True
+
+
+def _conv_hf(items) -> list[dict]:
+    """HF pipeline output -> the kernel's span-dict shape (shared by all
+    three model loaders)."""
+    return [{
+        "entity_group": str(it.get("entity_group", "UNKNOWN")),
+        "start": int(it.get("start", 0)),
+        "end": int(it.get("end", 0)),
+        "score": float(it.get("score", 0.0)),
+        "word": it.get("word", ""),
+    } for it in items]
 
 
 def _validate_general(text: str, raw: list[dict]) -> list[dict]:
@@ -653,6 +656,24 @@ def set_medical_backend(fn) -> None:
     _MEDICAL_BACKEND = fn
 
 
+def try_load_medical_hf_backend(model_name: str = "obi/deid_roberta_i2b2"
+                                ) -> bool:
+    """Wire the reference's D7 medical model as the medical backend when
+    `transformers` is installed (server/models/medical_ner.py:53-73:
+    pipeline('ner', aggregation_strategy='simple', device=-1) over the
+    i2b2 deid RoBERTa).  Raw labels flow through MEDICAL_LABEL_MAP and
+    the context boost in _run_medical_model, exactly as gazetteer spans
+    do.  Same per-worker lazy-load pattern as try_load_hf_backend."""
+    try:
+        from transformers import pipeline  # noqa: gated optional dep
+    except ImportError:
+        return False
+    nlp = pipeline("ner", model=model_name, aggregation_strategy="simple",
+                   device=-1)
+    set_medical_backend(lambda text: _conv_hf(nlp(text)))
+    return True
+
+
 def map_medical_label(original: str) -> str:
     return MEDICAL_LABEL_MAP.get(original.upper().strip(),
                                  original or "MISCELLANEOUS")
@@ -693,6 +714,35 @@ def _run_medical_model(text: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 # D9 pattern sub-bank (server/models/pii_specialized_ner.py:198-398)
 # ---------------------------------------------------------------------------
+
+_PII_MODEL_BACKEND = None  # optional plug-in: the D9 model half
+
+
+def set_pii_model_backend(fn) -> None:
+    """Register a dedicated model for the PII-specialized stage's model
+    half.  The reference runs its OWN pipeline instance here
+    (pii_specialized_ner.py:97-103, same default weights as general);
+    when unset, _run_pii_specialized reuses the general model's spans --
+    identical results for identical weights, one forward pass saved."""
+    global _PII_MODEL_BACKEND
+    _PII_MODEL_BACKEND = fn
+
+
+def try_load_pii_hf_backend(model_name: str =
+                            "dbmdz/bert-large-cased-finetuned-conll03-english"
+                            ) -> bool:
+    """Wire the reference's D9 model as the PII-specialized backend when
+    `transformers` is installed (pii_specialized_ner.py:89-113).  Same
+    pipeline args and per-worker lazy-load pattern as
+    try_load_hf_backend."""
+    try:
+        from transformers import pipeline  # noqa: gated optional dep
+    except ImportError:
+        return False
+    nlp = pipeline("ner", model=model_name, aggregation_strategy="simple",
+                   device=-1)
+    set_pii_model_backend(lambda text: _conv_hf(nlp(text)))
+    return True
 
 def _pii_pattern_confidence(name: str, surface: str, text: str,
                             start: int, base: float) -> float:
@@ -765,10 +815,17 @@ def remove_overlaps_by_score(entities: list[dict]) -> list[dict]:
 def _run_pii_specialized(text: str,
                          general_raw: Optional[list[dict]] = None) -> list[dict]:
     """D9: model pass (mapped via _map_pii_entity_type) + pattern bank,
-    then per-model overlap removal."""
+    then per-model overlap removal.  A dedicated PII model backend
+    (set_pii_model_backend) takes precedence over the shared general
+    spans, mirroring the reference's separate pipeline instance."""
+    if _PII_MODEL_BACKEND is not None:
+        model_spans = _validate_general(text, _PII_MODEL_BACKEND(text))
+    elif general_raw is not None:
+        model_spans = general_raw
+    else:
+        model_spans = _run_general_model(text)
     results = []
-    for e in (general_raw if general_raw is not None
-              else _run_general_model(text)):
+    for e in model_spans:
         label = e["entity_group"].upper().strip()
         mapped = {"PERSON": "PERSON", "PER": "PERSON",
                   "ORGANIZATION": "ORGANIZATION", "ORG": "ORGANIZATION",

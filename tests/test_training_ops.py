@@ -641,3 +641,97 @@ def test_wide_minhash_bucket_count_band_guard(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_bands"):
         wide_minhash_bucket_count(docs, n_hashes=8, n_bands=16)
+
+
+def _stub_transformers(monkeypatch, built, label, surface):
+    """Install a stub `transformers` whose pipeline records construction
+    args and emits one `label` span over `surface` when present."""
+    import sys
+    import types
+
+    def fake_pipeline(task, model=None, aggregation_strategy=None,
+                      device=None):
+        built.update(task=task, model=model,
+                     aggregation_strategy=aggregation_strategy,
+                     device=device)
+
+        def nlp(text):
+            i = text.find(surface)
+            if i < 0:
+                return []
+            return [{"entity_group": label, "start": i,
+                     "end": i + len(surface), "score": 0.8,
+                     "word": surface}]
+        return nlp
+
+    stub = types.ModuleType("transformers")
+    stub.pipeline = fake_pipeline
+    monkeypatch.setitem(sys.modules, "transformers", stub)
+
+
+def test_medical_hf_backend_loader_wiring_with_stub(monkeypatch):
+    """try_load_medical_hf_backend's REAL load path: pipeline args match
+    the reference (medical_ner.py:62-67), raw labels are remapped via
+    MEDICAL_LABEL_MAP, and the x1.1 medical-context boost applies."""
+    from redactify_spark.detect import kernel
+
+    built = {}
+    _stub_transformers(monkeypatch, built, "PATIENT", "Maria Gonzalez")
+    try:
+        assert kernel.try_load_medical_hf_backend() is True
+        assert built == {"task": "ner",
+                         "model": "obi/deid_roberta_i2b2",
+                         "aggregation_strategy": "simple", "device": -1}
+        assert kernel._MEDICAL_BACKEND is not None
+
+        text = "the patient Maria Gonzalez was admitted to the hospital"
+        out = kernel._run_medical_model(text)
+        assert len(out) == 1
+        # PATIENT -> PERSON via MEDICAL_LABEL_MAP; medical context
+        # ('patient', 'hospital', 'admitted') fires the x1.1 boost
+        assert out[0]["entity_group"] == "PERSON"
+        assert text[out[0]["start"]:out[0]["end"]] == "Maria Gonzalez"
+        assert out[0]["score"] == pytest.approx(min(1.0, 0.8 * 1.1))
+
+        # no medical context -> no boost
+        plain = kernel._run_medical_model("Maria Gonzalez won the race")
+        assert plain[0]["score"] == pytest.approx(0.8)
+    finally:
+        kernel.set_medical_backend(None)
+
+
+def test_pii_hf_backend_loader_wiring_with_stub(monkeypatch):
+    """try_load_pii_hf_backend's REAL load path: pipeline args match the
+    reference (pii_specialized_ner.py:97-103), the dedicated backend
+    takes precedence over shared general spans, and its labels flow
+    through the D9 mapping + context boost."""
+    from redactify_spark.detect import kernel
+
+    built = {}
+    _stub_transformers(monkeypatch, built, "MISC", "XK-42-FOO")
+    try:
+        assert kernel.try_load_pii_hf_backend() is True
+        assert built == {
+            "task": "ner",
+            "model": "dbmdz/bert-large-cased-finetuned-conll03-english",
+            "aggregation_strategy": "simple", "device": -1}
+        assert kernel._PII_MODEL_BACKEND is not None
+
+        text = "employee id number XK-42-FOO on file"
+        out = kernel._run_pii_specialized(text)
+        hits = [e for e in out
+                if text[e["start"]:e["end"]] == "XK-42-FOO"
+                and e.get("detector") == "pii_specialized_ner_model"]
+        # MISC -> PII_IDENTIFIER (D9 mapping); 'id number' context
+        # indicator fires the x1.1 boost
+        assert hits and hits[0]["entity_group"] == "PII_IDENTIFIER"
+        assert hits[0]["score"] == pytest.approx(min(1.0, 0.8 * 1.1))
+
+        # precedence: general_raw passed in is IGNORED when the
+        # dedicated backend is registered (reference runs its own model)
+        out2 = kernel._run_pii_specialized(
+            text, general_raw=[{"entity_group": "ORG", "start": 0,
+                                "end": 8, "score": 0.99, "word": "employee"}])
+        assert not [e for e in out2 if e.get("original_label") == "ORG"]
+    finally:
+        kernel.set_pii_model_backend(None)
