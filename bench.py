@@ -156,10 +156,12 @@ def run_full_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
                          lambda: _pages(spark, sf_dir, mult))
     n_docs = pages.count()
     t0 = time.time()
-    out = CP.kg_pipeline(spark, pages, root, id_col="page_id")
-    n_triples = out["triples"].count()
-    n_nodes = out["nodes"].count()
-    n_edges = out["edges"].count()
+    CP.kg_pipeline(spark, pages, root, id_col="page_id")
+    # row counts come free from the stage manifests (recorded during
+    # each stage's write via observe) -- no post-hoc count() jobs
+    n_triples = CP.read_manifest(root, "02_triples")["row_count"]
+    n_nodes = CP.read_manifest(root, "05_nodes")["row_count"]
+    n_edges = CP.read_manifest(root, "06_edges")["row_count"]
     elapsed = time.time() - t0
     stage_walls = {
         s: CP.read_manifest(root, s)["wall_time_sec"]
@@ -195,11 +197,11 @@ def run_corpus_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
     docs = CP.run_stage(spark, root, "00_docs", lambda: docs)
     n_in = docs.count()
     t0 = time.time()
-    out = corpus_pipeline(spark, docs, root,
-                          gopher_kwargs={"min_words": 20,
-                                         "max_dup_word_frac": 0.8})
-    n_chunks = out["chunks"].count()
-    n_kept = out["gated"].count()
+    corpus_pipeline(spark, docs, root,
+                    gopher_kwargs={"min_words": 20,
+                                   "max_dup_word_frac": 0.8})
+    n_chunks = CP.read_manifest(root, "06_chunks")["row_count"]
+    n_kept = CP.read_manifest(root, "04_quality")["row_count"]
     elapsed = time.time() - t0
     stage_walls = {
         s: CP.read_manifest(root, s)["wall_time_sec"]

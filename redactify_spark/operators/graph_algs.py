@@ -89,8 +89,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     unrollable; convergence-driven stopping is a trivial wrapper
     (iterate until max |delta| < eps)."""
     def cut(df: DataFrame) -> DataFrame:
+        # lazy local cuts: each frame still computes exactly once and
+        # truncates lineage, but materializes inside the next consuming
+        # job instead of its own blocking driver round-trip -- saves
+        # ~3 fixed job latencies per pagerank call (the sf0.1 salience
+        # stage is dominated by job overhead, not data)
         return (df.checkpoint() if reliable_checkpoint
-                else df.localCheckpoint())
+                else df.localCheckpoint(eager=False))
 
     if weight is None:
         e = edges.select(F.col(src).alias("src"),
