@@ -31,7 +31,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "8"))
 
 
-def _pages(spark, sf_dir: str, mult: int):
+# Zipf-head skew injection (--skew mode): one head entity (the shared
+# press contact) appears on 30% of pages, so every groupBy/join keyed by
+# surface, canonical entity, or co-mention pair sees a single hot key.
+# Uniform-corpus benches leave this off.
+_HEAD_SENTENCE = (" Google announced the update from Mountain View and "
+                  "press@google.com confirmed the statement.")
+
+
+def _skewed(pid: int, text: str, skew: bool) -> str:
+    return text + _HEAD_SENTENCE if skew and pid % 10 < 3 else text
+
+
+def _pages(spark, sf_dir: str, mult: int, skew: bool = False):
     """Deterministic page corpus: every documents row expanded to `mult`
     synthetic pages (doc text as filler, PII injected per synthetic id)."""
     from typing import Iterator
@@ -59,7 +71,8 @@ def _pages(spark, sf_dir: str, mult: int):
                    + pdf["rep"].astype("int64"))
             yield pd.DataFrame({
                 "page_id": ids,
-                "text": [synth_text(int(i), filler=t or "")
+                "text": [_skewed(int(i), synth_text(int(i), filler=t or ""),
+                                 skew)
                          for i, t in zip(ids, pdf["text"])],
             })
 
@@ -142,7 +155,8 @@ def run_kg_job(spark, sf_dir: str, mult: int, out_dir: str) -> dict:
             "triples_per_sec": round(n_triples / elapsed, 1)}
 
 
-def run_full_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
+def run_full_dag(spark, sf_dir: str, mult: int, root: str,
+                 skew: bool = False) -> dict:
     """End-to-end CHECKPOINTED KG pipeline: pages -> mentions -> triples
     -> link edges -> canonical map -> nodes/edges, every stage persisted
     through plans/checkpoint.run_stage (the resumable production DAG,
@@ -153,7 +167,7 @@ def run_full_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
     # synthesized corpus must not sit pinned in executor memory skewing
     # every measurement that follows
     pages = CP.run_stage(spark, root, "00_pages",
-                         lambda: _pages(spark, sf_dir, mult))
+                         lambda: _pages(spark, sf_dir, mult, skew))
     n_docs = pages.count()
     t0 = time.time()
     CP.kg_pipeline(spark, pages, root, id_col="page_id")
@@ -272,6 +286,40 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
 
 
 def main():
+    if "--skew" in sys.argv:
+        # Skew evidence (VERDICT r2 #4): same DAG, uniform corpus vs one
+        # head entity on 30% of pages.  A stage whose wall blows up
+        # superlinearly under the hot key would indicate un-handled skew
+        # (the skewed corpus also carries ~20% more mentions, so walls
+        # legitimately rise ~linearly with that volume).
+        from redactify_spark.plans.session import build_session
+        spark = build_session(f"bench-skew", master=f"local[{CPUS}]",
+                              shuffle_partitions=CPUS)
+        out = {}
+        try:
+            for label, sk in (("uniform", False), ("zipf_head30", True)):
+                runs = []
+                for i in range(2):
+                    root = tempfile.mkdtemp(prefix=f"skew_{label}_{i}_")
+                    runs.append(run_full_dag(spark, SF_DIR, DOC_MULT,
+                                             root, skew=sk))
+                    shutil.rmtree(root, ignore_errors=True)
+                out[label] = min(runs, key=lambda r: r["sec"])
+        finally:
+            spark.stop()
+        ratios = {
+            s: round(out["zipf_head30"]["stage_sec"][s]
+                     / max(out["uniform"]["stage_sec"][s], 1e-9), 2)
+            for s in out["uniform"]["stage_sec"]}
+        print(json.dumps({
+            "metric": "skew_stage_ratio_max",
+            "value": max(ratios.values()), "unit": "ratio",
+            "sf": SF_DIR, "queries": {},
+            "detail": {"uniform": out["uniform"],
+                       "zipf_head30": out["zipf_head30"],
+                       "stage_wall_ratio_zipf_over_uniform": ratios}}))
+        return
+
     if "--scaling" in sys.argv:
         # N vs 4N cores, both UNCONTENDED on this 32-core box: a python-UDF
         # task occupies a JVM thread AND a python worker, so local[32]
