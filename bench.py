@@ -227,6 +227,186 @@ def run_corpus_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
             "stage_sec": stage_walls}
 
 
+def _synth_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 256,
+                      partitions: int = 64):
+    """Deterministic clustered embedding corpus, generated DISTRIBUTED
+    (spark.range -> mapInPandas, fully vectorized numpy per batch; no
+    driver-side loop -- same scheme as synth_pages).  Most ids belong to
+    a hash-assigned cluster (center + hash-noise, normalized) -- the ANN
+    top-k workload.  Ids with id % 200 in {198, 199} form a DIVERSE
+    background population (pure hash noise, no cluster), and each 199 is
+    a tiny perturbation of its 198 -- planted near-dup pairs on diverse
+    vectors, the realistic web-scale blocking case (perturbed copies in
+    a heterogeneous corpus).  Tight-cluster near-identical pairs are
+    deliberately NOT planted: those land in over-wide LSH buckets that
+    the cap drops by design (counted by wide_embedding_bucket_count)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rng = spark.range(0, n, 1, partitions)
+
+    def mix64(a):
+        # splitmix64 finalizer, vectorized: full-avalanche hash so the
+        # noise of adjacent ids is uncorrelated (a linear hash makes
+        # same-cluster vectors differ by a near-constant offset, which
+        # floods the corpus with accidental near-dups)
+        x = a.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = x * np.uint64(0x9E3779B97F4A7C15)
+            x ^= x >> np.uint64(30)
+            x = x * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x = x * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x / float(1 << 64) - 0.5
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cluster centers are tiny (n_clusters x dim): recomputed per
+        # worker once, deterministic
+        centers = np.vstack([
+            np.random.RandomState(c).standard_normal(dim)
+            for c in range(n_clusters)])
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            background = (ids % 200 >= 198)
+            base = np.where(ids % 200 == 199, ids - 1, ids)
+            cl = (base * 2654435761) % 2147483647 % n_clusters
+            # deterministic per-(id,dim) uniform noise in [-0.5, 0.5)
+            grid = base[:, None] * np.int64(dim) + np.arange(dim)[None, :]
+            noise = mix64(grid)
+            v = np.where(background[:, None], 0.0, centers[cl]) + noise
+            dup = (ids != base)[:, None]
+            grid2 = (ids[:, None] + np.int64(7 * n)) * np.int64(dim) \
+                + np.arange(dim)[None, :]
+            pert = mix64(grid2)
+            v = v + np.where(dup, 0.02 * pert, 0.0)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [row.astype(np.float32).tolist() for row in v]})
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    return rng.mapInPandas(gen, schema=schema)
+
+
+def _synth_query_vec(qid: int, dim: int = 64, n_clusters: int = 256):
+    """Driver-side replica of _synth_embeddings' formula for one id --
+    no table scan needed to obtain a query vector."""
+    import numpy as np
+    centers = np.vstack([np.random.RandomState(c).standard_normal(dim)
+                         for c in range(n_clusters)])
+    cl = (qid * 2654435761) % 2147483647 % n_clusters
+    grid = np.int64(qid) * np.int64(dim) + np.arange(dim)
+    x = grid.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x = x * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    noise = x / float(1 << 64) - 0.5
+    v = centers[cl] + noise
+    return (v / max(float(np.linalg.norm(v)), 1e-12)).tolist()
+
+
+def run_ann_bench(spark, n: int, dim: int = 64) -> dict:
+    """ANN family at scale (VERDICT r2 #5): brute-force exact as ground
+    truth, then sign-LSH (stored signature), IVF (stored cell), int8
+    quantized, and embedding near-dup pairs -- walls + recall@10.  All
+    paths distributed; the only collects are the k result rows and the
+    bounded IVF centroid sample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from redactify_spark.operators import similarity as S
+    from redactify_spark.operators.dedup import embedding_dup_pairs
+
+    out = {"n": n, "dim": dim}
+    root = tempfile.mkdtemp(prefix="annbench_")
+    try:
+        t0 = time.time()
+        _synth_embeddings(spark, n, dim).write.mode("overwrite") \
+            .parquet(f"{root}/base")
+        base = spark.read.parquet(f"{root}/base")
+        out["gen_write_sec"] = round(time.time() - t0, 2)
+
+        # index build: stored signature + cell id, sorted by signature so
+        # parquet row-group stats prune the probe scan
+        n_planes = S.adaptive_planes(n)
+        planes = S._hyperplanes(dim, n_planes)
+        # data-dependent coarse quantizer: cells must align with the
+        # data's cluster structure or probing misses neighbors
+        # (fixed_centroids measured 0.5 recall@10 here vs 1.0).  The
+        # centroid fit collects a bounded md5-ordered sample (<= 1.3k
+        # rows); assignment stays fully distributed.
+        cents = S.ivf_centroids(base, 64)
+        t0 = time.time()
+        (base
+         .withColumn("sig", S.signature_expr(F.col("embedding"), planes))
+         .withColumn("cell", S.cell_assign_expr(F.col("embedding"), cents))
+         .repartitionByRange(64, "sig")
+         .sortWithinPartitions("sig")
+         .write.mode("overwrite").parquet(f"{root}/indexed"))
+        indexed = spark.read.parquet(f"{root}/indexed")
+        out["index_build_sec"] = round(time.time() - t0, 2)
+        out["n_planes"] = n_planes
+
+        q = _synth_query_vec(7, dim)
+
+        t0 = time.time()
+        exact = S.brute_force_topk(base, q, k=10).collect()
+        out["brute_sec"] = round(time.time() - t0, 2)
+        truth = {r.vec_id for r in exact}
+
+        t0 = time.time()
+        lsh = S.lsh_topk(indexed, q, k=10, dim=dim, n_planes=n_planes,
+                         sig_col="sig").collect()
+        out["lsh_sec"] = round(time.time() - t0, 2)
+        out["lsh_recall@10"] = len(truth & {r.vec_id for r in lsh}) / 10
+
+        t0 = time.time()
+        ivf = S.ivf_topk(indexed, q, k=10, n_cells=64, n_probe=8,
+                         centroids=cents, cell_col="cell").collect()
+        out["ivf_sec"] = round(time.time() - t0, 2)
+        out["ivf_recall@10"] = len(truth & {r.vec_id for r in ivf}) / 10
+
+        t0 = time.time()
+        qt = S.quantize_embeddings(base, persist=True)
+        scale = max(abs(x) for x in q) / 127.0
+        qq = [int(np.floor(x / scale + 0.5)) for x in q]
+        quant = S.quantized_topk(qt, qq, k=10).collect()
+        out["quantized_sec"] = round(time.time() - t0, 2)
+        out["quantized_recall@10"] = \
+            len(truth & {r.vec_id for r in quant}) / 10
+
+        from redactify_spark.operators.dedup import (
+            adaptive_emb_planes_per_band, wide_embedding_bucket_count)
+        planted = len(range(199, n, 200))
+        ppb = adaptive_emb_planes_per_band(n)
+        out["dup_planes_per_band"] = ppb
+        t0 = time.time()
+        found = embedding_dup_pairs(base, threshold=0.98, dim=dim,
+                                    planes_per_band=ppb).count()
+        out["dup_pairs_sec"] = round(time.time() - t0, 2)
+        out["dup_pairs_found"] = found
+        out["dup_pairs_planted"] = planted
+        out["dup_pairs_recall"] = round(found / planted, 4)
+        # no silent caps: buckets the width cap dropped (tight-cluster
+        # signature floods land here by design)
+        out["dup_wide_buckets_dropped"] = \
+            wide_embedding_bucket_count(base, dim=dim, planes_per_band=ppb)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as E
 
@@ -318,6 +498,22 @@ def main():
             "detail": {"uniform": out["uniform"],
                        "zipf_head30": out["zipf_head30"],
                        "stage_wall_ratio_zipf_over_uniform": ratios}}))
+        return
+
+    if "--ann" in sys.argv:
+        from redactify_spark.plans.session import build_session
+        n = int(os.environ.get("ANN_N", "1000000"))
+        spark = build_session("bench-ann", master=f"local[{CPUS}]",
+                              shuffle_partitions=CPUS)
+        try:
+            r = run_ann_bench(spark, n)
+        finally:
+            spark.stop()
+        print(json.dumps({
+            "metric": "ann_recall_min",
+            "value": min(r["lsh_recall@10"], r["ivf_recall@10"],
+                         r["quantized_recall@10"]),
+            "unit": "ratio", "sf": n, "queries": {}, "detail": r}))
         return
 
     if "--scaling" in sys.argv:

@@ -92,12 +92,19 @@ def adaptive_planes(n_vectors: int, target_bucket: int = 64) -> int:
 def lsh_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              vec_col: str = "embedding", dim: int | None = None,
              n_planes: int | None = None, n_vectors: int | None = None,
-             max_probe_hamming: int = 2) -> DataFrame:
+             max_probe_hamming: int = 2,
+             sig_col: str | None = None) -> DataFrame:
     """Bucket-pruned ANN: scan only buckets whose signature is within
     `max_probe_hamming` bits of the query signature, exact cosine inside.
 
-    At scale the signature is a stored column (partition/bucket pruning at
-    the scan); here it is computed inline for self-containedness.
+    `sig_col`: name of a PRECOMPUTED signature column (written with
+    signature_expr at ingest, same n_planes).  This is the scale path:
+    the probe becomes a pushed-down IN filter on a stored int -- with
+    the table sorted/bucketed by signature, parquet row-group stats (or
+    Iceberg partition pruning) skip everything outside the probed
+    buckets, so a query touches ~probe/2^n_planes of the corpus instead
+    of rescanning and re-hashing all of it.  When None the signature is
+    computed inline (self-contained, but a full scan per query).
 
     Sizing: pass `n_planes` (the stored-signature config) or `n_vectors`
     (known corpus size, e.g. from table stats) -- only when BOTH are
@@ -120,9 +127,13 @@ def lsh_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
         probe |= {qsig ^ (1 << b) ^ (1 << c)
                   for b in range(n_planes) for c in range(b + 1, n_planes)}
     probe = sorted(probe)
-    sigged = embeddings.withColumn("_sig",
-                                   signature_expr(F.col(vec_col), planes))
-    return (sigged.where(F.col("_sig").isin(probe))
+    if sig_col is None:
+        sigged = embeddings.withColumn("_sig",
+                                       signature_expr(F.col(vec_col), planes))
+        sig_col = "_sig"
+    else:
+        sigged = embeddings
+    return (sigged.where(F.col(sig_col).isin(probe))
             .select("vec_id", cosine_expr(F.col(vec_col), qvec).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col("vec_id"))
             .limit(k))
@@ -231,18 +242,27 @@ def cell_assign_expr(col, centroids: np.ndarray):
 def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding",
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             cell_col: str | None = None) -> DataFrame:
     """IVF ANN: scan only the n_probe cells nearest the query, exact
-    cosine inside.  With the cell id stored and the table written
-    bucketed by it, the probe becomes partition pruning at the scan."""
+    cosine inside.  `cell_col` names a PRECOMPUTED cell-id column
+    (written with cell_assign_expr at ingest using the same centroids)
+    -- the scale path: with the table sorted/partitioned by cell, the
+    probe is a pushed-down IN filter and the scan prunes to
+    ~n_probe/n_cells of the corpus.  When None the assignment is
+    computed inline (full scan per query)."""
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, vec_col)
     q = np.asarray(qvec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     probe = np.argsort(-(centroids @ qn))[:n_probe].tolist()
-    celled = embeddings.withColumn(
-        "_cell", cell_assign_expr(F.col(vec_col), centroids))
-    return (celled.where(F.col("_cell").isin([int(c) for c in probe]))
+    if cell_col is None:
+        celled = embeddings.withColumn(
+            "_cell", cell_assign_expr(F.col(vec_col), centroids))
+        cell_col = "_cell"
+    else:
+        celled = embeddings
+    return (celled.where(F.col(cell_col).isin([int(c) for c in probe]))
             .select("vec_id", cosine_expr(F.col(vec_col), qvec).alias("cos"))
             .orderBy(F.col("cos").desc(), F.col("vec_id"))
             .limit(k))

@@ -735,3 +735,50 @@ def test_pii_hf_backend_loader_wiring_with_stub(monkeypatch):
         assert not [e for e in out2 if e.get("original_label") == "ORG"]
     finally:
         kernel.set_pii_model_backend(None)
+
+
+def test_ann_stored_index_matches_inline(spark):
+    """The scale path (precomputed signature / cell-id columns) must
+    return exactly what the inline computation returns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from redactify_spark.operators import similarity as S
+
+    dim, n = 16, 300
+    rows = []
+    for i in range(n):
+        v = np.sin(np.arange(dim) * (i + 1) * 0.7) + 0.1 * (i % 7)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in np.sin(np.arange(dim) * 5 * 0.7)]
+
+    planes = S._hyperplanes(dim, 6)
+    cents = S.fixed_centroids(dim, 8)
+    indexed = (emb
+               .withColumn("sig", S.signature_expr(F.col("embedding"), planes))
+               .withColumn("cell", S.cell_assign_expr(F.col("embedding"),
+                                                      cents)))
+
+    inline_lsh = S.lsh_topk(emb, q, k=5, dim=dim, n_planes=6).collect()
+    stored_lsh = S.lsh_topk(indexed, q, k=5, dim=dim, n_planes=6,
+                            sig_col="sig").collect()
+    assert [(r.vec_id, round(r.cos, 9)) for r in inline_lsh] \
+        == [(r.vec_id, round(r.cos, 9)) for r in stored_lsh]
+
+    inline_ivf = S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3,
+                            centroids=cents).collect()
+    stored_ivf = S.ivf_topk(indexed, q, k=5, n_cells=8, n_probe=3,
+                            centroids=cents, cell_col="cell").collect()
+    assert [(r.vec_id, round(r.cos, 9)) for r in inline_ivf] \
+        == [(r.vec_id, round(r.cos, 9)) for r in stored_ivf]
+
+
+def test_adaptive_emb_planes_per_band_sizing():
+    """Band space must scale with corpus size: the 8-plane default
+    saturates every bucket past the cap at ~10^6 rows (recall -> 0,
+    measured in BENCH r3)."""
+    from redactify_spark.operators.dedup import adaptive_emb_planes_per_band
+    assert adaptive_emb_planes_per_band(1_000_000) == 15
+    assert adaptive_emb_planes_per_band(20_000) == 10
+    assert adaptive_emb_planes_per_band(0) == 4          # floor
+    assert adaptive_emb_planes_per_band(10**12) == 24    # ceiling
