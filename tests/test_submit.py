@@ -17,10 +17,11 @@ def test_spark_submit_pyfiles(tmp_path):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the only source
     out_dir = str(tmp_path / "kg_out")
+    wh = str(tmp_path / "warehouse")
     r = subprocess.run(
         [spark_submit, "--master", "local[4]", "--py-files", zip_path,
          f"{repo}/tools/submit_job.py", "--synth", "60",
-         "--output", out_dir],
+         "--output", out_dir, "--bucketed-warehouse", wh],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=420)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -28,3 +29,49 @@ def test_spark_submit_pyfiles(tmp_path):
     assert summary["n_pages"] == 60
     assert summary["n_triples"] > 0 and summary["n_nodes"] > 0
     assert os.path.exists(f"{out_dir}/nodes")
+    assert summary["bucketed_tables"] == ["kg_nodes", "kg_salience"]
+
+    # SECOND process: read the CLI-written production tables back.  The
+    # canon_id equi-join of the two same-bucketed tables must plan with
+    # NO Exchange (the shuffle was paid at write time), and a pred
+    # filter on the partitioned triples table must prune at the scan
+    # (PartitionFilters) -- the Iceberg storage-partitioned-join shape,
+    # exercised end to end through spark-submit.
+    verifier = f"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[2]").appName("kg-read")
+         .config("spark.sql.warehouse.dir", {wh!r} + "/wh")
+         .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+                 "jdbc:derby:;databaseName=" + {wh!r} + "/metastore_db;create=true")
+         .enableHiveSupport().getOrCreate())
+from redactify_spark.operators.bucketing import bucketed_join, plan_has_exchange
+j = bucketed_join(spark, "kg_nodes", "kg_salience", "canon_id")
+tri = spark.read.parquet({out_dir!r} + "/triples_by_pred")
+pred = tri.select("pred").first()[0]
+filtered = tri.where(F.col("pred") == pred)
+import contextlib, io
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    filtered.explain("formatted")
+plan = buf.getvalue()
+print(json.dumps({{
+    "join_rows": j.count(),
+    "join_has_exchange": plan_has_exchange(j),
+    "partition_filter_pushed": "PartitionFilters: [isnotnull(pred" in plan,
+    "filtered_rows": filtered.count(),
+}}))
+spark.stop()
+"""
+    env2 = dict(os.environ)
+    r2 = subprocess.run([sys.executable, "-c", verifier],
+                        capture_output=True, text=True, env=env2,
+                        cwd=str(tmp_path), timeout=240)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    check = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert check["join_rows"] == summary["n_nodes"]
+    assert check["join_has_exchange"] is False, check
+    assert check["partition_filter_pushed"] is True, check
+    assert 0 < check["filtered_rows"] < summary["n_triples"]

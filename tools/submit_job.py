@@ -32,16 +32,38 @@ def main(argv=None):
     ap.add_argument("--dedup-urls", action="store_true",
                     help="canonical-URL recrawl dedup before detection "
                          "(keep newest snapshot per canonical url)")
+    ap.add_argument("--bucketed-warehouse", default=None,
+                    help="ALSO publish nodes/salience as bucketed managed "
+                         "tables (kg_nodes, kg_salience; bucketed by "
+                         "canon_id) and triples partitioned by pred, in a "
+                         "persistent hive/derby warehouse at this path -- "
+                         "the production sink shape: downstream equi-joins "
+                         "on canon_id read co-partitioned buckets with no "
+                         "Exchange, pred filters prune partitions at the "
+                         "scan.  (With an Iceberg runtime this is "
+                         "writeTo(...).partitionedBy(bucket(n, col)); see "
+                         "sources/io.write_table.)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
     builder = SparkSession.builder.appName("redactify-kg")
     if args.master:
         builder = builder.master(args.master)
-    spark = (builder
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .getOrCreate())
+    builder = (builder
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.execution.arrow.pyspark.enabled", "true"))
+    if args.bucketed_warehouse:
+        wh = args.bucketed_warehouse.rstrip("/")
+        builder = (builder
+                   .config("spark.sql.warehouse.dir", f"{wh}/wh")
+                   # derby path pinned via the JDO url (settable after the
+                   # driver JVM is up, unlike derby.system.home), so a
+                   # second process pointing here sees the same catalog
+                   .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+                           f"jdbc:derby:;databaseName={wh}/metastore_db;"
+                           f"create=true")
+                   .enableHiveSupport())
+    spark = builder.getOrCreate()
 
     from redactify_spark.plans.checkpoint import kg_pipeline
     from redactify_spark.sources.pages import extract_text_column, synth_pages
@@ -70,6 +92,15 @@ def main(argv=None):
         "n_nodes": out["nodes"].count(),
         "n_edges": out["edges"].count(),
     }
+    if args.bucketed_warehouse:
+        from redactify_spark.operators.bucketing import write_bucketed
+        from redactify_spark.sources.io import write_table
+        write_bucketed(out["nodes"], "kg_nodes", "canon_id", n_buckets=8)
+        write_bucketed(out["salience"], "kg_salience", "canon_id",
+                       n_buckets=8)
+        write_table(out["triples"], args.output + "/triples_by_pred",
+                    partition_col="pred")
+        summary["bucketed_tables"] = ["kg_nodes", "kg_salience"]
     print(json.dumps(summary))
     spark.stop()
     return 0
