@@ -1159,6 +1159,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.avg("feat_norm"), 4).alias("avg_norm"))
                 .orderBy("kind"))
 
+    def q80_bm25(spark, sf):
+        """Okapi BM25 relevance of every document against a query-term
+        set (operators/textstats.bm25_scores): term-filtered tf agg +
+        broadcast df table; corpus stats are two scalars."""
+        from redactify_spark.operators import textstats as X
+        d = _t(spark, sf, "documents")
+        return (X.bm25_scores(d, ["spark", "vector", "stream"])
+                .select("doc_id", "n_terms",
+                        F.round("score", 4).alias("score"))
+                .orderBy("doc_id"))
+
+    def q81_name_linkage(spark, sf):
+        """Blocked exact-edit-distance linkage over distinct part names
+        (operators/linking.blocked_levenshtein_pairs): equi-join on
+        (first char, length band), levenshtein only within blocks."""
+        from redactify_spark.operators.linking import \
+            blocked_levenshtein_pairs
+        p = _t(spark, sf, "part")
+        return (blocked_levenshtein_pairs(p, "p_name", max_dist=3)
+                .select("name_a", "name_b",
+                        F.col("dist").cast("int").alias("dist"))
+                .orderBy("name_a", "name_b"))
+
+    def q82_price_histogram(spark, sf):
+        """Fixed-width value histogram of order totals: one map-side-
+        combinable groupBy on the bin key."""
+        o = _t(spark, sf, "orders")
+        bin_ = F.floor(F.col("o_totalprice") / 25000).cast("long")
+        return (o.groupBy(bin_.alias("bin"))
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                     F.round(F.max("o_totalprice"), 2).alias("max_price"))
+                .orderBy("bin"))
+
+    def q83_string_agg(spark, sf):
+        """Ordered string aggregation (array_sort(collect_list) --
+        the Spark spelling of string_agg ... ORDER BY) per region."""
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (n.join(F.broadcast(r),
+                       n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name")
+                .agg(F.array_join(F.array_sort(F.collect_list("n_name")),
+                                  ",").alias("nations"),
+                     F.count("*").cast("long").alias("n_nations"))
+                .orderBy("r_name"))
+
+    def q84_grouped_stats(spark, sf):
+        """Second-moment aggregation family per group: correlation,
+        sample covariance/stddev/variance -- all map-side combinable."""
+        li = _t(spark, sf, "lineitem")
+        return (li.groupBy("l_linestatus")
+                .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                     .alias("corr_qp"),
+                     F.round(F.covar_samp("l_quantity", "l_extendedprice"),
+                             2).alias("covar_qp"),
+                     F.round(F.stddev_samp("l_extendedprice"), 4)
+                     .alias("sd_price"),
+                     F.round(F.var_samp("l_quantity"), 6).alias("var_qty"))
+                .orderBy("l_linestatus"))
+
+    def q85_ntile_quartiles(spark, sf):
+        """Per-priority price quartiles via ntile(4) (deterministic
+        orderkey tiebreak) -> per-quartile count/min/max."""
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_orderpriority") \
+                  .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        return (o.withColumn("quartile", F.ntile(4).over(w))
+                .groupBy("o_orderpriority", "quartile")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.round(F.min("o_totalprice"), 2).alias("lo"),
+                     F.round(F.max("o_totalprice"), 2).alias("hi"))
+                .orderBy("o_orderpriority", "quartile"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1239,6 +1313,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_interval_join": q77_interval_join,
         "q78_weighted_sample": q78_weighted_sample,
         "q79_intersect": q79_intersect,
+        "q80_bm25": q80_bm25,
+        "q81_name_linkage": q81_name_linkage,
+        "q82_price_histogram": q82_price_histogram,
+        "q83_string_agg": q83_string_agg,
+        "q84_grouped_stats": q84_grouped_stats,
+        "q85_ntile_quartiles": q85_ntile_quartiles,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2502,5 +2582,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id FROM events
         WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
         ORDER BY user_id
+    """
+
+    # ---- q80: Okapi BM25 (avgdl rounded to 6 both sides for parity) --------
+    sql["q80_bm25"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        lens AS (SELECT doc_id, len(tokens) AS dl FROM toks),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         round(avg(dl), 6) AS avgdl FROM lens),
+        ex AS (SELECT t.doc_id, l.dl, unnest(t.tokens) AS token
+               FROM toks t JOIN lens l USING (doc_id)),
+        tf AS (SELECT doc_id, dl, token,
+                      CAST(count(*) AS DOUBLE) AS tf
+               FROM ex WHERE token IN ('spark', 'vector', 'stream')
+               GROUP BY doc_id, dl, token),
+        dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY token)
+        SELECT tf.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               round(sum(ln((s.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl))),
+                     4) AS score
+        FROM tf JOIN dfq USING (token), stats s
+        GROUP BY tf.doc_id
+        ORDER BY tf.doc_id
+    """
+
+    # ---- q81: blocked levenshtein linkage (same blocking both sides) -------
+    sql["q81_name_linkage"] = """
+        WITH vals AS (SELECT DISTINCT p_name AS v FROM part
+                      WHERE p_name IS NOT NULL),
+        blocked AS (SELECT v, substr(v, 1, 1) AS c,
+                           CAST(floor(length(v) / 4) AS BIGINT) AS lb
+                    FROM vals),
+        sized AS (SELECT *, count(*) OVER (PARTITION BY c, lb) AS nn
+                  FROM blocked),
+        narrow AS (SELECT v, c, lb FROM sized WHERE nn <= 64)
+        SELECT a.v AS name_a, b.v AS name_b,
+               CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist
+        FROM narrow a JOIN narrow b USING (c, lb)
+        WHERE a.v < b.v AND levenshtein(a.v, b.v) <= 3
+        ORDER BY name_a, name_b
+    """
+
+    # ---- q82: fixed-width price histogram -----------------------------------
+    sql["q82_price_histogram"] = """
+        SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY bin
+        ORDER BY bin
+    """
+
+    # ---- q83: ordered string aggregation ------------------------------------
+    sql["q83_string_agg"] = """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """
+
+    # ---- q84: second-moment aggregation family ------------------------------
+    sql["q84_grouped_stats"] = """
+        SELECT l_linestatus,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 2)
+                   AS covar_qp,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price,
+               round(var_samp(l_quantity), 6) AS var_qty
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """
+
+    # ---- q85: ntile quartiles ------------------------------------------------
+    sql["q85_ntile_quartiles"] = """
+        SELECT o_orderpriority, quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM (SELECT o_orderpriority, o_totalprice,
+                     ntile(4) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey)
+                         AS quartile
+              FROM orders)
+        GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile
     """
     return sql

@@ -204,3 +204,51 @@ def match_edges(mentions: DataFrame, threshold: float = 0.55,
             F.split(F.col("key_a"), "-").getItem(0)
             == F.split(F.col("key_b"), "-").getItem(0))
     return score_pairs(pairs).where(F.col("jaccard") >= threshold)
+
+
+def blocked_levenshtein_pairs(df: DataFrame, col: str,
+                              max_dist: int = 3,
+                              band: int = 4,
+                              max_block: int = MAX_BUCKET) -> DataFrame:
+    """(name_a, name_b, dist): distinct-value pairs within edit distance
+    `max_dist`, candidate-blocked so the quadratic comparison never runs
+    corpus-wide -- the exact-edit-distance companion to the entity
+    linkage scorer (match_edges' Jaccard handles word reorderings; edit
+    distance catches typos).
+
+    Blocking key = (first char, floor(length / band)): two strings at
+    edit distance d differ in length by at most d, so with band >= 
+    max_dist + 1 a true pair can only miss the block when the FIRST
+    character was edited or the lengths straddle a band boundary --
+    documented recall bound, standard blocking tradeoff (add a
+    second pass keyed on last char for higher recall).  Blocks wider
+    than `max_block` are dropped and counted
+    (wide_levenshtein_block_count), same contract as the LSH families.
+    The join is an equi-join on the block key; levenshtein runs
+    JVM-side only within blocks."""
+    vals = (df.select(F.col(col).cast("string").alias("v"))
+            .where(F.col("v").isNotNull()).distinct())
+    blocked = vals.select(
+        "v", F.substring("v", 1, 1).alias("_c"),
+        F.floor(F.length("v") / band).alias("_lb"))
+    sized = blocked.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("_c", "_lb")))
+    narrow = sized.where(F.col("_n") <= max_block).drop("_n")
+    a = narrow.select(F.col("v").alias("name_a"), "_c", "_lb")
+    bfr = narrow.select(F.col("v").alias("name_b"), "_c", "_lb")
+    return (a.join(bfr, ["_c", "_lb"])
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b",
+                    F.levenshtein("name_a", "name_b").alias("dist"))
+            .where(F.col("dist") <= max_dist))
+
+
+def wide_levenshtein_block_count(df: DataFrame, col: str,
+                                 band: int = 4,
+                                 max_block: int = MAX_BUCKET) -> int:
+    """Metric: blocks dropped by blocked_levenshtein_pairs' width cap."""
+    vals = (df.select(F.col(col).cast("string").alias("v"))
+            .where(F.col("v").isNotNull()).distinct())
+    return (vals.groupBy(F.substring("v", 1, 1),
+                         F.floor(F.length("v") / band))
+            .count().where(F.col("count") > max_block).count())

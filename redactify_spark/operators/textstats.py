@@ -253,3 +253,54 @@ def unigram_nll(docs: DataFrame, lm: DataFrame, total_tokens: int,
     return (scored.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.avg("_nll").alias("nll")))
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_docs: int | None = None,
+                avgdl: float | None = None) -> DataFrame:
+    """(doc_id, n_terms, score): Okapi BM25 of each document against a
+    query-term set -- the classic lexical relevance ranking, the keyword
+    companion to the embedding ANN family.  Only documents matching at
+    least one query term are returned.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)   (Lucene's +1 variant,
+    never negative), score = sum_t idf_t * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: tokenize -> per-doc tf for the query terms only (the
+    term filter prunes BEFORE the aggregation, so the shuffle carries
+    |terms| x n_docs rows at most) -> tiny df table (one row per query
+    term) broadcast back.  The only corpus-wide aggregates are two
+    scalars (N and avgdl), computed in one map-side-combinable pass --
+    pass `n_docs`/`avgdl` from table stats to skip even that.  avgdl is
+    rounded to 6 decimals so an external oracle computing the same
+    rounded scalar gets bit-equal scores."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(norm, " "))
+    lens = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("dl"), toks.alias("_toks"))
+    if n_docs is None or avgdl is None:
+        row = lens.agg(F.count("*").alias("n"),
+                       F.avg("dl").alias("a")).collect()[0]
+        n_docs = n_docs if n_docs is not None else int(row.n)
+        avgdl = avgdl if avgdl is not None else float(row.a)
+    avgdl = round(avgdl, 6)
+    terms = sorted(set(query_terms))
+    tf = (lens.select("doc_id", "dl", F.explode("_toks").alias("token"))
+          .where(F.col("token").isin(terms))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df_tbl = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    part = idf * (F.col("tf") * (k1 + 1.0)) \
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    return (tf.join(F.broadcast(df_tbl), "token")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_terms"),
+                 F.sum(part).alias("score")))

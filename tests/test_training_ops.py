@@ -782,3 +782,62 @@ def test_adaptive_emb_planes_per_band_sizing():
     assert adaptive_emb_planes_per_band(20_000) == 10
     assert adaptive_emb_planes_per_band(0) == 4          # floor
     assert adaptive_emb_planes_per_band(10**12) == 24    # ceiling
+
+
+def test_bm25_hand_fixture(spark):
+    """BM25 against a 3-doc corpus, hand-computed."""
+    import math
+    from redactify_spark.operators.textstats import bm25_scores
+    docs = spark.createDataFrame(
+        [(1, "spark spark is fast"),
+         (2, "duck runs fast"),
+         (3, "spark and duck")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_terms, r.score)
+           for r in bm25_scores(docs, ["spark", "duck"]).collect()}
+    # dl: 4, 3, 3 -> avgdl = 10/3 rounded to 6
+    avgdl = round(10 / 3, 6)
+    n = 3.0
+
+    def idf(df):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def part(tf, dl, df):
+        return idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 1
+    assert out[1][1] == pytest.approx(part(2, 4, 2))   # spark df=2
+    assert out[2][1] == pytest.approx(part(1, 3, 2))   # duck df=2
+    assert out[3][0] == 2
+    assert out[3][1] == pytest.approx(part(1, 3, 2) * 2)
+    # doc with no query term is excluded
+    docs2 = docs.union(spark.createDataFrame([(4, "nothing here")],
+                                             docs.schema))
+    assert 4 not in {r.doc_id
+                     for r in bm25_scores(docs2, ["spark"]).collect()}
+
+
+def test_blocked_levenshtein_pairs(spark):
+    """Blocking finds same-block pairs within max_dist, drops and counts
+    over-wide blocks, and documents the first-char recall bound."""
+    from redactify_spark.operators.linking import (
+        blocked_levenshtein_pairs, wide_levenshtein_block_count)
+    names = ["red widget", "red widget", "red gadget", "blue bolt",
+             "blue boat", "zed widget"]
+    df = spark.createDataFrame([(x,) for x in names], "p_name string")
+    pairs = {(r.name_a, r.name_b, r.dist)
+             for r in blocked_levenshtein_pairs(df, "p_name",
+                                                max_dist=3).collect()}
+    assert ("red gadget", "red widget", 2) in pairs
+    assert ("blue boat", "blue bolt", 1) in pairs
+    # 'zed widget' ~ 'red widget' is dist 1 but first char differs:
+    # different block, not found -- the documented recall bound
+    assert not any("zed widget" in p for p in pairs)
+
+    # cap: a flooded block is dropped and counted
+    flood = spark.createDataFrame(
+        [(f"aaaa{i:04d}",) for i in range(100)], "p_name string")
+    assert wide_levenshtein_block_count(flood, "p_name", max_block=64) == 1
+    assert blocked_levenshtein_pairs(flood, "p_name",
+                                     max_block=64).count() == 0
