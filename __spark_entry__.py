@@ -1233,6 +1233,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.max("o_totalprice"), 2).alias("hi"))
                 .orderBy("o_orderpriority", "quartile"))
 
+    def q86_ewma_decay(spark, sf):
+        """Exponentially-decayed per-user activity score (recency-
+        weighted engagement): one map-side-combinable aggregation; the
+        decay reference is a fixed literal, no corpus scan."""
+        e = _t(spark, sf, "events")
+        t_end = F.unix_micros(F.lit("2024-02-01 00:00:00")
+                              .cast("timestamp"))
+        age_days = (t_end - F.unix_micros(F.col("ts").cast("timestamp"))) \
+            / F.lit(86400e6)
+        w = F.exp(-age_days / F.lit(7.0))
+        return (e.groupBy("user_id")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.round(F.sum(F.col("value") * w), 4)
+                     .alias("decayed_value"))
+                .orderBy("user_id"))
+
+    def q87_funnel(spark, sf):
+        """Click -> purchase conversion funnel within 30 minutes: the
+        next-purchase timestamp per user comes from a reversed running
+        min over the per-user event stream (one window sweep keyed by
+        user -- no range join, same shape as asof_join), then clicks
+        aggregate by day."""
+        e = _t(spark, sf, "events")
+        ev = (e.where(F.col("event_type").isin("click", "purchase"))
+              .select("user_id", "event_type", "event_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("ts_us"),
+                      F.to_date(F.col("ts").cast("timestamp"))
+                      .cast("string").alias("day")))
+        w = Window.partitionBy("user_id") \
+                  .orderBy(F.col("ts_us").desc(), F.col("event_id").desc()) \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+        nxt = F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts_us"))).over(w)
+        clicks = (ev.withColumn("_next_purchase", nxt)
+                  .where(F.col("event_type") == "click"))
+        conv = (F.col("_next_purchase").isNotNull()
+                & (F.col("_next_purchase") - F.col("ts_us")
+                   <= F.lit(30 * 60_000_000)))
+        return (clicks.groupBy("day")
+                .agg(F.count("*").cast("long").alias("n_clicks"),
+                     F.sum(conv.cast("long")).cast("long")
+                     .alias("n_converted"))
+                .orderBy("day"))
+
+    def q88_containment(spark, sf):
+        """Asymmetric word-3-gram containment pairs (doc embedded in
+        doc -- the case symmetric Jaccard misses), blocked + split like
+        the Jaccard family, no size-ratio prune by construction."""
+        d = _t(spark, sf, "documents")
+        return (D.word_containment_pairs_native(d, threshold=0.08)
+                .select("id_a", "id_b",
+                        F.round("cont_a", 6).alias("cont_a"),
+                        F.round("cont_b", 6).alias("cont_b"))
+                .orderBy("id_a", "id_b"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1319,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_string_agg": q83_string_agg,
         "q84_grouped_stats": q84_grouped_stats,
         "q85_ntile_quartiles": q85_ntile_quartiles,
+        "q86_ewma_decay": q86_ewma_decay,
+        "q87_funnel": q87_funnel,
+        "q88_containment": q88_containment,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2666,6 +2725,77 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY l_linestatus
         ORDER BY l_linestatus
+    """
+
+    # ---- q86: exponentially-decayed activity ---------------------------------
+    sql["q86_ewma_decay"] = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value * exp(-((epoch_us(TIMESTAMP '2024-02-01')
+                                        - epoch_us(ts)) / 86400e6) / 7.0)),
+                     4) AS decayed_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+    # ---- q87: click -> purchase funnel (window sweep, no range join) --------
+    sql["q87_funnel"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events
+            WHERE event_type IN ('click', 'purchase')),
+        swept AS (
+            SELECT *,
+                   min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_us DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS next_purchase
+            FROM ev)
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN next_purchase IS NOT NULL
+                              AND next_purchase - ts_us <= 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM swept
+        WHERE event_type = 'click'
+        GROUP BY day
+        ORDER BY day
+    """
+
+    # ---- q88: asymmetric n-gram containment ---------------------------------
+    sql["q88_containment"] = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS tokens
+            FROM (SELECT doc_id, source,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM documents)),
+        grams AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(tokens) < 3
+                        THEN [array_to_string(tokens, ' ')]
+                        ELSE list_distinct(list_transform(
+                            generate_series(1, len(tokens) - 2),
+                            i -> array_to_string(
+                                list_slice(tokens, i, i + 2), ' ')))
+                   END AS g
+            FROM toks)
+        SELECT id_a, id_b, round(ca, 6) AS cont_a, round(cb, 6) AS cont_b
+        FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(a.g) AS ca,
+                     CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(b.g) AS cb
+              FROM grams a JOIN grams b
+                ON a.source = b.source AND a.doc_id < b.doc_id)
+        WHERE ca >= 0.08 OR cb >= 0.08
+        ORDER BY id_a, id_b
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------

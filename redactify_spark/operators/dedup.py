@@ -480,6 +480,14 @@ def word_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
     collisions), expressed so a DuckDB oracle can check it exactly.
     Shingles are xxhash64-compressed and the join uses the same
     pair-space split + block-width cap as ngram_jaccard_pairs_native."""
+    grams = _word_gram_frame(docs, text_col, k, block_col, max_block)
+    return _blocked_jaccard_join(grams, threshold, pair_split)
+
+
+def _word_gram_frame(docs: DataFrame, text_col: str, k: int,
+                     block_col: str, max_block: int) -> DataFrame:
+    """(doc_id, _block, grams): distinct xxhash64-compressed word-k-gram
+    sets, block-capped -- shared by the Jaccard and containment verifies."""
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, block_col)
     sized = docs.withColumn(
@@ -493,9 +501,45 @@ def word_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")))))
-    grams = docs.select(F.col("doc_id"), F.col(block_col).alias("_block"),
-                        sh.alias("grams"))
-    return _blocked_jaccard_join(grams, threshold, pair_split)
+    return docs.select(F.col("doc_id"), F.col(block_col).alias("_block"),
+                       sh.alias("grams"))
+
+
+def word_containment_pairs_native(docs: DataFrame, text_col: str = "text",
+                                  k: int = 3, block_col: str = "source",
+                                  threshold: float = 0.8,
+                                  max_block: int = MAX_NGRAM_BLOCK,
+                                  pair_split: int = PAIR_SPLIT) -> DataFrame:
+    """(id_a, id_b, cont_a, cont_b): ASYMMETRIC n-gram containment
+    C(X, Y) = |X ∩ Y| / |X| for both directions, keeping pairs where
+    either direction >= threshold.  Catches a document quoted or
+    embedded inside a larger one -- the case symmetric Jaccard
+    structurally misses (the union is dominated by the larger doc, so
+    J stays low however complete the overlap).  Lee et al. 2022's
+    substring-dedup motivation, at document granularity.
+
+    Same scale shape as word_jaccard_pairs_native (blocked equi-join,
+    width cap, pair-space split) MINUS the size-ratio prune: a
+    containment match is precisely the size-asymmetric case the
+    Jaccard prune discards."""
+    grams = _word_gram_frame(docs, text_col, k, block_col, max_block)
+    a = grams.select("_block", F.col("doc_id").alias("id_a"),
+                     F.col("grams").alias("g_a"))
+    b = grams.select("_block", F.col("doc_id").alias("id_b"),
+                     F.col("grams").alias("g_b"),
+                     F.pmod(F.xxhash64("doc_id"), F.lit(pair_split))
+                     .alias("_pb"))
+    a = a.withColumn(
+        "_pb", F.explode(F.array(*[F.lit(j) for j in range(pair_split)])))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    cont_a = inter / F.size("g_a")
+    cont_b = inter / F.size("g_b")
+    return (a.join(b, ["_block", "_pb"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cont_a.alias("cont_a"),
+                    cont_b.alias("cont_b"))
+            .where((F.col("cont_a") >= threshold)
+                   | (F.col("cont_b") >= threshold)))
 
 
 # --- native n-gram Jaccard (oracle-expressible) ------------------------------

@@ -841,3 +841,27 @@ def test_blocked_levenshtein_pairs(spark):
     assert wide_levenshtein_block_count(flood, "p_name", max_block=64) == 1
     assert blocked_levenshtein_pairs(flood, "p_name",
                                      max_block=64).count() == 0
+
+
+def test_word_containment_embedded_doc(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0 in
+    the small->large direction while Jaccard stays low (the case the
+    symmetric metric structurally misses)."""
+    from redactify_spark.operators.dedup import (
+        word_containment_pairs_native, word_jaccard_pairs_native)
+    small = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, small, "s"), (2, filler + " " + small + " " + filler, "s"),
+         (3, "totally unrelated text here", "s")],
+        "doc_id long, text string, source string")
+    cont = {(r.id_a, r.id_b): (round(r.cont_a, 3), round(r.cont_b, 3))
+            for r in word_containment_pairs_native(
+                docs, threshold=0.9).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)][0] == 1.0      # all of doc1's grams inside doc2
+    assert cont[(1, 2)][1] < 0.1       # tiny fraction of doc2
+    assert (1, 3) not in cont
+    # symmetric Jaccard misses the same pair at any useful threshold
+    jac = word_jaccard_pairs_native(docs, threshold=0.3)
+    assert (1, 2) not in {(r.id_a, r.id_b) for r in jac.collect()}
