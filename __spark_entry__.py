@@ -1289,6 +1289,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("cont_b", 6).alias("cont_b"))
                 .orderBy("id_a", "id_b"))
 
+    def q89_gapfill(spark, sf):
+        """Hourly resample with forward fill per user (time-series
+        gap-fill / locf): per-key bucket argmax + per-key spine explode
+        + one window sweep, all keyed by user -- no global sort."""
+        from redactify_spark.operators.temporal import resample_ffill
+        e = _t(spark, sf, "events").where(F.col("user_id") < 8)
+        return (resample_ffill(e, freq_minutes=60)
+                .select(F.col("key").cast("long").alias("user_id"),
+                        F.col("bucket").cast("long").alias("hour_bucket"),
+                        F.round("value", 2).alias("value"),
+                        "filled")
+                .orderBy("user_id", "hour_bucket"))
+
+    def q90_reachability(spark, sf):
+        """Min hop distance from a seed set over the part co-order
+        graph, bounded BFS (2 hops): frontier equi-join + anti-join per
+        round, lineage cut each round.  Oracle = WITH RECURSIVE."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return (G.bounded_reachability(cooc, [1, 2], max_hops=2)
+                .select(F.col("node").cast("long").alias("node"), "depth")
+                .orderBy("node"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1378,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_ewma_decay": q86_ewma_decay,
         "q87_funnel": q87_funnel,
         "q88_containment": q88_containment,
+        "q89_gapfill": q89_gapfill,
+        "q90_reachability": q90_reachability,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2796,6 +2822,48 @@ def oracle_sql() -> dict[str, str]:
                 ON a.source = b.source AND a.doc_id < b.doc_id)
         WHERE ca >= 0.08 OR cb >= 0.08
         ORDER BY id_a, id_b
+    """
+
+    # ---- q89: hourly resample + forward fill --------------------------------
+    sql["q89_gapfill"] = """
+        WITH b AS (
+            SELECT user_id AS key,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                       AS bucket,
+                   arg_max(value, event_id) AS bv
+            FROM events WHERE user_id < 8
+            GROUP BY key, bucket),
+        spine AS (
+            SELECT key, unnest(generate_series(b0, b1)) AS bucket
+            FROM (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+                  FROM b GROUP BY key)),
+        j AS (SELECT s.key, s.bucket, b.bv
+              FROM spine s LEFT JOIN b USING (key, bucket))
+        SELECT key AS user_id, bucket AS hour_bucket,
+               round(last_value(bv IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   2) AS value,
+               bv IS NULL AS filled
+        FROM j
+        ORDER BY user_id, hour_bucket
+    """
+
+    # ---- q90: bounded BFS reachability (WITH RECURSIVE oracle) --------------
+    sql["q90_reachability"] = f"""
+        WITH RECURSIVE {cooc_ctes},
+        reach(node, depth) AS (
+            SELECT CAST(seed AS BIGINT), 0
+            FROM (VALUES (1), (2)) seeds(seed)
+            UNION ALL
+            SELECT s.dst, r.depth + 1
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.depth < 2)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(depth) AS INTEGER) AS depth
+        FROM reach
+        GROUP BY node
+        ORDER BY node
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------

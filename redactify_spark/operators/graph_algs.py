@@ -364,3 +364,34 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         sym = cut(sym)
         n_prev = n_now
     raise RuntimeError(f"k_core: no fixpoint after {max_iter} rounds")
+
+
+def bounded_reachability(edges: DataFrame, seeds: list, max_hops: int,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, depth): minimum hop distance from the seed set over the
+    undirected graph, up to `max_hops`.  BFS by frontier expansion: each
+    round is one equi-join (frontier x edges) + one anti-join against
+    the visited set, lineage cut per round -- the bounded-neighborhood
+    primitive (entity context windows, blast-radius queries).  Rounds
+    are fixed at max_hops, so the result is deterministic and a
+    WITH RECURSIVE oracle can unroll it (q90)."""
+    sym = symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    src_type = dict(sym.dtypes)["src"]
+    seed_df = (spark.createDataFrame([(s,) for s in seeds], "node string")
+               .select(F.col("node").cast(src_type).alias("node"))
+               .distinct())
+    visited = seed_df.select("node", F.lit(0).alias("depth"))
+    frontier = seed_df
+    for d in range(1, max_hops + 1):
+        nxt = (sym.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).alias("depth")))
+        visited = visited.localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select("node", F.col("depth").cast("int").alias("depth"))

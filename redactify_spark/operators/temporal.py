@@ -191,3 +191,44 @@ def wide_interval_count(intervals: DataFrame, start_col: str = "start",
         >= max_bins_per_interval
     null_bound = F.col(start_col).isNull() | F.col(end_col).isNull()
     return intervals.where(too_wide | null_bound).count()
+
+
+def resample_ffill(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   order_col: str = "event_id",
+                   freq_minutes: int = 60) -> DataFrame:
+    """(key, bucket, value, filled): per-key fixed-frequency resample
+    with forward fill -- the time-series gap-fill operator (Spark has no
+    native equivalent; TimescaleDB calls it time_bucket + locf).
+
+    Per bucket the representative value is that of the LATEST event by
+    `order_col` (unique + monotone with time, so the choice is
+    deterministic even under timestamp ties).  Each key's spine spans
+    its own [min, max] bucket (sequence + explode -- rows stay
+    proportional to key activity, not to the global time range);
+    missing buckets take the previous value via last(ignorenulls) over
+    a per-key window.  `filled` marks carried-forward rows.  Leading
+    buckets before a key's first event cannot exist by construction.
+
+    Scale shape: one groupBy on (key, bucket), one per-key explode, one
+    window sweep -- all keyed by `key_col`, no global sort."""
+    bucket_us = freq_minutes * 60_000_000
+    b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(bucket_us))
+    per_bucket = (events
+                  .select(F.col(key_col).alias("key"), b.alias("bucket"),
+                          F.col(value_col).alias("v"),
+                          F.col(order_col).alias("o"))
+                  .groupBy("key", "bucket")
+                  .agg(F.max_by("v", "o").alias("bv")))
+    spine = (per_bucket.groupBy("key")
+             .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+             .select("key", F.explode(F.sequence("b0", "b1"))
+                     .alias("bucket")))
+    w = Window.partitionBy("key").orderBy("bucket") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = spine.join(per_bucket, ["key", "bucket"], "left")
+    return (joined
+            .select("key", "bucket",
+                    F.last("bv", ignorenulls=True).over(w).alias("value"),
+                    F.col("bv").isNull().alias("filled")))

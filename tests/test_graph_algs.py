@@ -212,3 +212,16 @@ def test_triangle_pmi_release_caches(spark):
     pmi = G.cooccurrence_pmi(df, "g", "i", min_pair_count=2)
     assert pmi.count() == 1
     assert jsc.getPersistentRDDs().size() - before <= 1
+
+
+def test_bounded_reachability(spark):
+    """BFS min-depth on a path graph with a branch; unreachable and
+    beyond-max_hops nodes excluded."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (2, 5), (8, 9)])
+    out = {r.node: r.depth
+           for r in G.bounded_reachability(e, [1], max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 5: 2}
+    # two seeds: depth is the min over seeds
+    out2 = {r.node: r.depth
+            for r in G.bounded_reachability(e, [1, 4], max_hops=1).collect()}
+    assert out2 == {1: 0, 4: 0, 2: 1, 3: 1}

@@ -211,3 +211,28 @@ def test_wide_interval_count_includes_null_bounds(spark):
         == {(0, 0)}
     # ...and both are counted as dropped
     assert wide_interval_count(iv, bin_minutes=15) == 2
+
+
+def test_resample_ffill(spark):
+    """Gap-fill: missing hourly buckets carry the previous value forward,
+    per-bucket representative = latest event by order col."""
+    from redactify_spark.operators.temporal import resample_ffill
+    import datetime as dt
+    rows = [
+        (0, 1, dt.datetime(2024, 1, 1, 10, 0), 10.0),   # hour 10
+        (1, 1, dt.datetime(2024, 1, 1, 10, 10), 11.0),  # hour 10, later wins
+        (2, 1, dt.datetime(2024, 1, 1, 13, 0), 30.0),   # hour 13 (11-12 gap)
+        (3, 2, dt.datetime(2024, 1, 1, 11, 0), 5.0),    # user 2: one bucket
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {(r.key, r.bucket - min(x.bucket for x in c if x.key == r.key)):
+           (r.value, r.filled)
+           for c in [resample_ffill(e).collect()] for r in c}
+    got = {(r[0][0], r[0][1]): r[1] for r in out.items()}
+    assert got[(1, 0)] == (11.0, False)   # argmax by event_id
+    assert got[(1, 1)] == (11.0, True)    # filled forward
+    assert got[(1, 2)] == (11.0, True)
+    assert got[(1, 3)] == (30.0, False)
+    assert got[(2, 0)] == (5.0, False)
+    assert len(got) == 5                   # no spine beyond activity
