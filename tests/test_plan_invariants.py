@@ -142,3 +142,42 @@ def test_q77_interval_join_no_nested_loop(spark, qs):
     plan = plan_of(qs["q77_interval_join"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q80_bm25_df_join_broadcast(spark, qs):
+    """The per-term df table is tiny (one row per query term) and must
+    broadcast; the tf aggregation must not plan a cartesian product."""
+    plan = plan_of(qs["q80_bm25"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q81_linkage_blocked_equi_join(spark, qs):
+    """Levenshtein runs only inside block equi-joins -- never as a
+    nested-loop predicate over the cross product."""
+    plan = plan_of(qs["q81_name_linkage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q87_funnel_window_not_range_join(spark, qs):
+    """The next-purchase lookup is a per-user window sweep, not a
+    time-range join."""
+    plan = plan_of(qs["q87_funnel"](spark, SF))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q89_gapfill_no_single_partition_window(spark, qs):
+    """Spine explode + forward-fill window are keyed per user: nothing
+    funnels through a single partition."""
+    plan = plan_of(qs["q89_gapfill"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q88_containment_no_cross_join(spark, qs):
+    plan = plan_of(qs["q88_containment"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
