@@ -1313,6 +1313,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("node").cast("long").alias("node"), "depth")
                 .orderBy("node"))
 
+    def q91_conversion_pairs(spark, sf):
+        """Click -> purchase pairs within 30 min (the stream-stream
+        interval join's exact semantics, run on the batch path -- same
+        code object serves readStream with watermarks)."""
+        from redactify_spark.streaming.joins import conversion_pairs_stream
+        e = _t(spark, sf, "events")
+        return (conversion_pairs_stream(e)
+                .orderBy("user_id", "click_id", "purchase_id"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1404,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_containment": q88_containment,
         "q89_gapfill": q89_gapfill,
         "q90_reachability": q90_reachability,
+        "q91_conversion_pairs": q91_conversion_pairs,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2864,6 +2874,20 @@ def oracle_sql() -> dict[str, str]:
         FROM reach
         GROUP BY node
         ORDER BY node
+    """
+
+    # ---- q91: interval join pairs (stream-stream join batch semantics) ------
+    sql["q91_conversion_pairs"] = """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY c.user_id, click_id, purchase_id
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
