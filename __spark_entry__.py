@@ -1322,6 +1322,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (conversion_pairs_stream(e)
                 .orderBy("user_id", "click_id", "purchase_id"))
 
+    def q92_event_transitions(spark, sf):
+        """Per-user next-event transition counts (the Markov matrix of
+        the clickstream): one lead() window sweep keyed by user + one
+        map-side-combinable groupBy on (from, to)."""
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (e.withColumn("next_type",
+                             F.lead("event_type").over(w))
+                .where(F.col("next_type").isNotNull())
+                .groupBy(F.col("event_type").alias("from_type"),
+                         F.col("next_type").alias("to_type"))
+                .agg(F.count("*").cast("long").alias("n"))
+                .orderBy("from_type", "to_type"))
+
+    def q93_rolling_active_users(spark, sf):
+        """Rolling 7-day distinct active users per day.  count(distinct)
+        over a range frame isn't supported, so each (user, day) pair
+        explodes to the 7 trailing report days and a plain distinct
+        count aggregates per day -- bounded 7x expansion, all
+        map-side-combinable, no window at all."""
+        e = _t(spark, sf, "events")
+        days = (e.select(F.col("user_id"),
+                         F.to_date(F.col("ts").cast("timestamp"))
+                         .alias("day")).distinct())
+        span = (days.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"),
+                                 F.date_add(F.col("day"), 6)))
+            .alias("report_day")))
+        observed = (days.select(F.col("day").alias("report_day"))
+                    .distinct())
+        return (span.join(observed, "report_day", "left_semi")
+                .groupBy("report_day")
+                .agg(F.count_distinct("user_id").cast("long")
+                     .alias("active_users_7d"))
+                .select(F.col("report_day").cast("string")
+                        .alias("report_day"), "active_users_7d")
+                .orderBy("report_day"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1414,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_gapfill": q89_gapfill,
         "q90_reachability": q90_reachability,
         "q91_conversion_pairs": q91_conversion_pairs,
+        "q92_event_transitions": q92_event_transitions,
+        "q93_rolling_active_users": q93_rolling_active_users,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2888,6 +2929,36 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts
          AND p.ts <= c.ts + INTERVAL 30 MINUTE
         ORDER BY c.user_id, click_id, purchase_id
+    """
+
+    # ---- q92: per-user event-type transition matrix --------------------------
+    sql["q92_event_transitions"] = """
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT event_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS next_type
+              FROM events)
+        WHERE next_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """
+
+    # ---- q93: rolling 7-day distinct active users ----------------------------
+    sql["q93_rolling_active_users"] = """
+        WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                      FROM events),
+        span AS (SELECT user_id,
+                        unnest(generate_series(day, day + 6,
+                                               INTERVAL 1 DAY)) AS report_day
+                 FROM days)
+        SELECT CAST(CAST(report_day AS DATE) AS VARCHAR) AS report_day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+        FROM span
+        WHERE CAST(report_day AS DATE) IN (SELECT day FROM days)
+        GROUP BY report_day
+        ORDER BY report_day
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
