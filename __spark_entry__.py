@@ -1361,6 +1361,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("report_day"), "active_users_7d")
                 .orderBy("report_day"))
 
+    def q94_conditional_agg(spark, sf):
+        """Conditional aggregation family (SQL FILTER clause spelled as
+        count_if / sum(when) in Spark): one pass, no subqueries."""
+        o = _t(spark, sf, "orders")
+        hi = F.col("o_totalprice") > 300000
+        return (o.groupBy("o_orderpriority")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.count_if(hi).cast("long").alias("n_high"),
+                     F.round(F.sum(F.when(hi, F.col("o_totalprice"))
+                                   .otherwise(F.lit(0.0))), 2)
+                     .alias("high_revenue"),
+                     F.round(F.avg(F.when(~hi, F.col("o_totalprice"))), 2)
+                     .alias("avg_low"))
+                .orderBy("o_orderpriority"))
+
+    def q95_mad_outliers(spark, sf):
+        """Robust outlier profile per language: median + median absolute
+        deviation (two grouped exact-percentile passes bridged by a
+        broadcast-sized per-group join), then a |x - med| > 3*MAD count."""
+        from redactify_spark.operators import textstats as X
+        d = _t(spark, sf, "documents")
+        toks = (d.select("lang",
+                         X.token_count_expr(F.col("text"))
+                         .cast("double").alias("_n")))
+        med = toks.groupBy("lang").agg(
+            F.percentile("_n", F.lit(0.5)).alias("med"))
+        dev = (toks.join(F.broadcast(med), "lang")
+               .withColumn("_ad", F.abs(F.col("_n") - F.col("med"))))
+        mad = dev.groupBy("lang").agg(
+            F.first("med").alias("med"),
+            F.percentile("_ad", F.lit(0.5)).alias("mad"))
+        out = (dev.join(F.broadcast(mad.select("lang", "mad")), "lang")
+               .groupBy("lang")
+               .agg(F.count_if(F.col("_ad") > 3 * F.col("mad"))
+                    .cast("long").alias("n_outliers")))
+        return (mad.join(out, "lang")
+                .select("lang", F.round("med", 4).alias("med"),
+                        F.round("mad", 4).alias("mad"), "n_outliers")
+                .orderBy("lang"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1455,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_conversion_pairs": q91_conversion_pairs,
         "q92_event_transitions": q92_event_transitions,
         "q93_rolling_active_users": q93_rolling_active_users,
+        "q94_conditional_agg": q94_conditional_agg,
+        "q95_mad_outliers": q95_mad_outliers,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2959,6 +3001,47 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(report_day AS DATE) IN (SELECT day FROM days)
         GROUP BY report_day
         ORDER BY report_day
+    """
+
+    # ---- q94: conditional aggregation (FILTER clause) ------------------------
+    sql["q94_conditional_agg"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (o_totalprice > 300000) AS BIGINT)
+                   AS n_high,
+               round(coalesce(sum(o_totalprice)
+                              FILTER (o_totalprice > 300000), 0.0), 2)
+                   AS high_revenue,
+               round(avg(o_totalprice)
+                     FILTER (NOT o_totalprice > 300000), 2) AS avg_low
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    # ---- q95: median absolute deviation outliers -----------------------------
+    sql["q95_mad_outliers"] = """
+        WITH t AS (
+            SELECT lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\\s+'))
+                        END AS DOUBLE) AS n
+            FROM documents),
+        med AS (SELECT lang, quantile_cont(n, 0.5) AS med
+                FROM t GROUP BY lang),
+        dev AS (SELECT t.lang, t.n, med.med, abs(t.n - med.med) AS ad
+                FROM t JOIN med USING (lang)),
+        mad AS (SELECT lang, any_value(med) AS med,
+                       quantile_cont(ad, 0.5) AS mad
+                FROM dev GROUP BY lang)
+        SELECT dev.lang, round(any_value(mad.med), 4) AS med,
+               round(any_value(mad.mad), 4) AS mad,
+               CAST(count(*) FILTER (dev.ad > 3 * mad.mad) AS BIGINT)
+                   AS n_outliers
+        FROM dev JOIN mad USING (lang)
+        GROUP BY dev.lang
+        ORDER BY dev.lang
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
