@@ -1401,6 +1401,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("mad", 4).alias("mad"), "n_outliers")
                 .orderBy("lang"))
 
+    def q96_association_rules(spark, sf):
+        """Pairwise association rules over order baskets: support,
+        confidence and lift from the capped co-occurrence counts plus
+        item-frequency marginals (market-basket analytics on the same
+        machinery as the KG co-mention edges)."""
+        li = _t(spark, sf, "lineitem")
+        baskets = li.select(F.col("l_orderkey").alias("g"),
+                            F.col("l_partkey").alias("i")).distinct()
+        n_baskets = baskets.select("g").distinct().count()
+        item = baskets.groupBy("i").agg(F.count("*").alias("n_i"))
+        a = baskets.select("g", F.col("i").alias("src"))
+        b = baskets.select("g", F.col("i").alias("dst"))
+        pair = (a.join(b, "g").where(F.col("src") < F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.count("*").cast("long").alias("n_pair"))
+                .where(F.col("n_pair") >= 3))
+        conf = F.col("n_pair") / F.col("n_src")
+        lift = (F.col("n_pair").cast("double") * F.lit(float(n_baskets))
+                / (F.col("n_src") * F.col("n_dst")))
+        return (pair
+                .join(item.select(F.col("i").alias("src"),
+                                  F.col("n_i").alias("n_src")), "src")
+                .join(item.select(F.col("i").alias("dst"),
+                                  F.col("n_i").alias("n_dst")), "dst")
+                .select(F.col("src").cast("long").alias("src"),
+                        F.col("dst").cast("long").alias("dst"), "n_pair",
+                        F.round(conf, 6).alias("confidence"),
+                        F.round(lift, 6).alias("lift"))
+                .orderBy("src", "dst"))
+
+    def q97_cohort_retention(spark, sf):
+        """Cohort retention matrix: users cohorted by first-activity
+        week, distinct actives per (cohort, week offset).  Two grouped
+        aggregations and one broadcast-sized cohort join."""
+        e = _t(spark, sf, "events")
+        weeks = (e.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date(F.col("ts").cast("timestamp")),
+                               F.lit("2024-01-01").cast("date")) / 7)
+            .alias("week")).distinct())
+        cohort = weeks.groupBy("user_id").agg(
+            F.min("week").alias("cohort_week"))
+        return (weeks.join(F.broadcast(cohort), "user_id")
+                .groupBy("cohort_week",
+                         (F.col("week") - F.col("cohort_week"))
+                         .alias("week_offset"))
+                .agg(F.count_distinct("user_id").cast("long")
+                     .alias("active_users"))
+                .orderBy("cohort_week", "week_offset"))
+
+    def q98_grouping_sets(spark, sf):
+        """Explicit GROUPING SETS (the third grouping form next to
+        q23's ROLLUP and q50's CUBE), with grouping_id to label rows."""
+        o = _t(spark, sf, "orders")
+        return spark.sql("""
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(grouping_id(o_orderpriority, o_orderstatus)
+                        AS INT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM {o}
+            GROUP BY GROUPING SETS ((o_orderpriority),
+                                    (o_orderstatus),
+                                    (o_orderpriority, o_orderstatus))
+            ORDER BY gid, o_orderpriority, o_orderstatus
+        """, o=o)
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1497,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_rolling_active_users": q93_rolling_active_users,
         "q94_conditional_agg": q94_conditional_agg,
         "q95_mad_outliers": q95_mad_outliers,
+        "q96_association_rules": q96_association_rules,
+        "q97_cohort_retention": q97_cohort_retention,
+        "q98_grouping_sets": q98_grouping_sets,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3042,6 +3112,61 @@ def oracle_sql() -> dict[str, str]:
         FROM dev JOIN mad USING (lang)
         GROUP BY dev.lang
         ORDER BY dev.lang
+    """
+
+    # ---- q96: pairwise association rules -------------------------------------
+    sql["q96_association_rules"] = """
+        WITH baskets AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+                         FROM lineitem),
+        nb AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM baskets),
+        item AS (SELECT i, count(*) AS n_i FROM baskets GROUP BY i),
+        pair AS (SELECT a.i AS src, b.i AS dst,
+                        CAST(count(*) AS BIGINT) AS n_pair
+                 FROM baskets a JOIN baskets b
+                   ON a.g = b.g AND a.i < b.i
+                 GROUP BY src, dst
+                 HAVING count(*) >= 3)
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               n_pair,
+               round(CAST(n_pair AS DOUBLE) / s.n_i, 6) AS confidence,
+               round(CAST(n_pair AS DOUBLE) * nb.n / (s.n_i * d.n_i), 6)
+                   AS lift
+        FROM pair
+        JOIN item s ON pair.src = s.i
+        JOIN item d ON pair.dst = d.i, nb
+        ORDER BY src, dst
+    """
+
+    # ---- q97: cohort retention matrix ----------------------------------------
+    sql["q97_cohort_retention"] = """
+        WITH weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) / 7) AS BIGINT)
+                       AS week
+            FROM events),
+        cohort AS (SELECT user_id, min(week) AS cohort_week
+                   FROM weeks GROUP BY user_id)
+        SELECT c.cohort_week,
+               w.week - c.cohort_week AS week_offset,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+        FROM weeks w JOIN cohort c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """
+
+    # ---- q98: GROUPING SETS ---------------------------------------------------
+    sql["q98_grouping_sets"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority, o_orderstatus) AS INTEGER)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority),
+                                (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        ORDER BY gid, o_orderpriority, o_orderstatus
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
