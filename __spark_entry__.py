@@ -1403,16 +1403,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q96_association_rules(spark, sf):
         """Pairwise association rules over order baskets: support,
-        confidence and lift from the capped co-occurrence counts plus
-        item-frequency marginals (market-basket analytics on the same
-        machinery as the KG co-mention edges)."""
+        confidence and lift from basket pair counts plus item-frequency
+        marginals.  The pair expansion carries the same count-over-
+        window width cap as the co-occurrence family (TPC-H baskets are
+        <= 7 items so it never fires here, but a skewed basket must be
+        dropped-and-countable, never silently quadratic)."""
         li = _t(spark, sf, "lineitem")
         baskets = li.select(F.col("l_orderkey").alias("g"),
                             F.col("l_partkey").alias("i")).distinct()
         n_baskets = baskets.select("g").distinct().count()
         item = baskets.groupBy("i").agg(F.count("*").alias("n_i"))
-        a = baskets.select("g", F.col("i").alias("src"))
-        b = baskets.select("g", F.col("i").alias("dst"))
+        sized = baskets.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("g")))
+        capped = sized.where(F.col("_n") <= 1024).drop("_n")
+        a = capped.select("g", F.col("i").alias("src"))
+        b = capped.select("g", F.col("i").alias("dst"))
         pair = (a.join(b, "g").where(F.col("src") < F.col("dst"))
                 .groupBy("src", "dst")
                 .agg(F.count("*").cast("long").alias("n_pair"))
@@ -2573,7 +2578,7 @@ def oracle_sql() -> dict[str, str]:
                          '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
                      regexp_extract(url,
                          '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+                     regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
               FROM u),
         p AS (SELECT *,
                      list_sort(list_filter(str_split(query, '&'),
@@ -3120,9 +3125,13 @@ def oracle_sql() -> dict[str, str]:
                          FROM lineitem),
         nb AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM baskets),
         item AS (SELECT i, count(*) AS n_i FROM baskets GROUP BY i),
+        capped AS (SELECT g, i FROM (
+                       SELECT g, i, count(*) OVER (PARTITION BY g) AS _n
+                       FROM baskets)
+                   WHERE _n <= 1024),
         pair AS (SELECT a.i AS src, b.i AS dst,
                         CAST(count(*) AS BIGINT) AS n_pair
-                 FROM baskets a JOIN baskets b
+                 FROM capped a JOIN capped b
                    ON a.g = b.g AND a.i < b.i
                  GROUP BY src, dst
                  HAVING count(*) >= 3)

@@ -31,6 +31,26 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "8"))
 
 
+def _mix64(a):
+    """splitmix64 finalizer, vectorized over a numpy int array ->
+    uniform floats in [-0.5, 0.5).  Full-avalanche so the noise of
+    adjacent ids is uncorrelated (a linear hash makes same-cluster
+    vectors differ by a near-constant offset, flooding the corpus with
+    accidental near-dups).  Single definition shared by the distributed
+    generator and the driver-side query replica -- they MUST stay in
+    sync or recall measurements compare against nonexistent vectors."""
+    import numpy as np
+    x = a.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x = x * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x / float(1 << 64) - 0.5
+
+
 # Zipf-head skew injection (--skew mode): one head entity (the shared
 # press contact) appears on 30% of pages, so every groupBy/join keyed by
 # surface, canonical entity, or co-mention pair sees a single hot key.
@@ -247,20 +267,7 @@ def _synth_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 256,
 
     rng = spark.range(0, n, 1, partitions)
 
-    def mix64(a):
-        # splitmix64 finalizer, vectorized: full-avalanche hash so the
-        # noise of adjacent ids is uncorrelated (a linear hash makes
-        # same-cluster vectors differ by a near-constant offset, which
-        # floods the corpus with accidental near-dups)
-        x = a.astype(np.uint64)
-        with np.errstate(over="ignore"):
-            x = x * np.uint64(0x9E3779B97F4A7C15)
-            x ^= x >> np.uint64(30)
-            x = x * np.uint64(0xBF58476D1CE4E5B9)
-            x ^= x >> np.uint64(27)
-            x = x * np.uint64(0x94D049BB133111EB)
-            x ^= x >> np.uint64(31)
-        return x / float(1 << 64) - 0.5
+    mix64 = _mix64
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # cluster centers are tiny (n_clusters x dim): recomputed per
@@ -303,15 +310,7 @@ def _synth_query_vec(qid: int, dim: int = 64, n_clusters: int = 256):
                          for c in range(n_clusters)])
     cl = (qid * 2654435761) % 2147483647 % n_clusters
     grid = np.int64(qid) * np.int64(dim) + np.arange(dim)
-    x = grid.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        x = x * np.uint64(0x9E3779B97F4A7C15)
-        x ^= x >> np.uint64(30)
-        x = x * np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x = x * np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-    noise = x / float(1 << 64) - 0.5
+    noise = _mix64(grid)
     v = centers[cl] + noise
     return (v / max(float(np.linalg.norm(v)), 1e-12)).tolist()
 
@@ -392,12 +391,21 @@ def run_ann_bench(spark, n: int, dim: int = 64) -> dict:
         ppb = adaptive_emb_planes_per_band(n)
         out["dup_planes_per_band"] = ppb
         t0 = time.time()
-        found = embedding_dup_pairs(base, threshold=0.98, dim=dim,
-                                    planes_per_band=ppb).count()
+        pairs = embedding_dup_pairs(base, threshold=0.98, dim=dim,
+                                    planes_per_band=ppb)
+        pairs = pairs.localCheckpoint(eager=False)
+        found = pairs.count()
+        # recall must count PLANTED pairs recovered (id_a=198 mod 200,
+        # id_b=id_a+1), not everything above threshold -- accidental
+        # near-dups would otherwise inflate it past 1.0
+        planted_found = pairs.where(
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("id_a") % 200 == 198)).count()
         out["dup_pairs_sec"] = round(time.time() - t0, 2)
         out["dup_pairs_found"] = found
         out["dup_pairs_planted"] = planted
-        out["dup_pairs_recall"] = round(found / planted, 4)
+        out["dup_pairs_planted_found"] = planted_found
+        out["dup_pairs_recall"] = round(planted_found / planted, 4)
         # no silent caps: buckets the width cap dropped (tight-cluster
         # signature floods land here by design)
         out["dup_wide_buckets_dropped"] = \

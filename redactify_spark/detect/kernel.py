@@ -744,6 +744,7 @@ def try_load_pii_hf_backend(model_name: str =
     set_pii_model_backend(lambda text: _conv_hf(nlp(text)))
     return True
 
+
 def _pii_pattern_confidence(name: str, surface: str, text: str,
                             start: int, base: float) -> float:
     conf = base

@@ -179,6 +179,13 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         F.greatest(F.col(src), F.col(dst)).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct())
+    # output node spine: every non-hub node of the ORIGINAL graph --
+    # a node whose only edges touched a dropped hub still reports 0
+    # triangles rather than vanishing (only hubs themselves are
+    # excluded, exactly what supernode_count counts)
+    all_nodes = (canon.select(F.col("u").alias("node"))
+                 .unionByName(canon.select(F.col("v").alias("node")))
+                 .distinct())
     if max_degree is not None:
         pre_sym = (canon.select(F.col("u").alias("a"))
                    .unionAll(canon.select(F.col("v").alias("a"))))
@@ -187,6 +194,8 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         canon = (canon
                  .join(hubs.withColumnRenamed("a", "u"), "u", "left_anti")
                  .join(hubs.withColumnRenamed("a", "v"), "v", "left_anti"))
+        all_nodes = all_nodes.join(
+            hubs.withColumnRenamed("a", "node"), "node", "left_anti")
     canon = canon.persist()
     sym = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(canon.select(F.col("v").alias("a"),
@@ -220,12 +229,9 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     per_corner = (tris.select(F.col("a").alias("node"))
                   .unionAll(tris.select(F.col("b").alias("node")))
                   .unionAll(tris.select(F.col("c").alias("node"))))
-    nodes = (canon.select(F.col("u").alias("node"))
-             .unionByName(canon.select(F.col("v").alias("node")))
-             .distinct())
     counted = per_corner.groupBy("node").agg(
         F.count("*").alias("n_triangles"))
-    out = (nodes.join(counted, "node", "left")
+    out = (all_nodes.join(counted, "node", "left")
            .select("node", F.coalesce("n_triangles", F.lit(0))
                    .cast("long").alias("n_triangles")))
     # one materialization job; then release the internal caches so a

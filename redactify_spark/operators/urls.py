@@ -47,9 +47,11 @@ def canonical_url_expr(url: Column) -> Column:
             .when(F.length(rawpath) > 1,
                   F.regexp_replace(rawpath, r"/$", "")) \
             .otherwise(rawpath)
-    # Anchor before the fragment: a '?' INSIDE the fragment
-    # ('/p#sec?x=1') is not a query string and must not resurrect one.
-    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    # The query starts at the FIRST '?' that precedes any fragment:
+    # [^#?]* stops at either delimiter, so a '?' inside the fragment
+    # ('/p#sec?x=1') cannot resurrect a query, and a '?' inside the
+    # query ('?redirect=http://o.com/x?y=1') stays part of it.
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     params = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING)))

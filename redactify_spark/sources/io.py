@@ -97,14 +97,24 @@ def compact_table(spark: SparkSession, path: str,
     # Pointed at hdfs://, s3a://, etc. it would see zero files and
     # destructively "compact" nothing -- fail loudly instead.  (On a
     # real cluster use Iceberg rewrite_data_files, or port this to the
-    # Hadoop FileSystem API.)
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    # Hadoop FileSystem API.)  Hadoop emits BOTH 'file:///p' and the
+    # single-slash 'file:/p' form; accept either, reject remote hosts.
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", path)
     if m and m.group(1) != "file":
         raise ValueError(
             f"compact_table only supports local paths, got scheme "
             f"{m.group(1)!r} -- use Iceberg rewrite_data_files for "
             f"remote filesystems")
-    path = re.sub(r"^file://", "", path)
+    if m:  # file: scheme -- normalize to a plain POSIX path
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            host, _, p = rest[2:].partition("/")
+            if host not in ("", "localhost"):
+                raise ValueError(
+                    f"compact_table: remote file host {host!r} unsupported")
+            path = "/" + p
+        else:
+            path = rest
 
     trash = path.rstrip("/") + "__compact_trash"
     # crash recovery: a previous run that died between its two renames

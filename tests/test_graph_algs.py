@@ -192,6 +192,10 @@ def test_triangle_supernode_cap_fires(spark):
     assert 0 not in capped                 # hub dropped from output
     assert capped[1] == capped[2] == capped[3] == 1   # untouched
     assert capped[100] == 0 and capped[101] == 0      # hub triangle lost
+    # nodes whose ONLY edges touched the hub still report 0 rather than
+    # vanishing -- only the hub itself is excluded
+    assert capped[150] == 0 and capped[249] == 0
+    assert len(capped) == 153   # 154 original nodes minus the 1 hub
 
 
 def test_triangle_pmi_release_caches(spark):

@@ -65,8 +65,12 @@ def test_fragment_question_mark_is_not_a_query(spark):
     df = spark.createDataFrame(
         [("http://ex.com/p#sec?x=1",),
          ("http://ex.com/p",),
-         ("http://ex.com/p?a=1#sec?x=2",)], "url string")
+         ("http://ex.com/p?a=1#sec?x=2",),
+         ("http://ex.com/p?redirect=http://o.com/x?y=1",)], "url string")
     out = [r.canonical_url for r in U.with_canonical_url(df).collect()]
     assert out[0] == "http://ex.com/p"
     assert out[1] == "http://ex.com/p"
     assert out[2] == "http://ex.com/p?a=1"
+    # '?' INSIDE the query is part of it (RFC 3986): the query starts at
+    # the FIRST '?', not the last
+    assert out[3] == "http://ex.com/p?redirect=http://o.com/x?y=1"
