@@ -229,3 +229,33 @@ def test_bounded_reachability(spark):
     out2 = {r.node: r.depth
             for r in G.bounded_reachability(e, [1, 4], max_hops=1).collect()}
     assert out2 == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bounded_reachability_matches_brute_force_random(spark):
+    """BFS min-depths match a pure-Python re-derivation on random
+    graphs (same style as the k_core brute-force gate)."""
+    import random
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 30
+        pairs = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(45)})
+        pairs = [(a, b) for a, b in pairs if a != b]
+        seeds, hops = [0, 5], 3
+
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        depth = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for d in range(1, hops + 1):
+            nxt = {v for u in frontier for v in adj.get(u, ())
+                   if v not in depth}
+            for v in nxt:
+                depth[v] = d
+            frontier = nxt
+        got = {r.node: r.depth
+               for r in G.bounded_reachability(
+                   _edges(spark, pairs), seeds, hops).collect()}
+        assert got == depth, trial

@@ -236,3 +236,36 @@ def test_resample_ffill(spark):
     assert got[(1, 3)] == (30.0, False)
     assert got[(2, 0)] == (5.0, False)
     assert len(got) == 5                   # no spine beyond activity
+
+
+def test_resample_ffill_properties_random(spark):
+    """Random event sets: spine is exactly [min,max] buckets per key,
+    values never null, filled marks exactly the bucket-gap rows."""
+    import datetime as dt
+    import random
+    rng = random.Random(5)
+    rows = []
+    for eid in range(120):
+        rows.append((eid, rng.randrange(4),
+                     dt.datetime(2024, 1, 1) + dt.timedelta(
+                         minutes=rng.randrange(0, 48 * 60)),
+                     round(rng.uniform(0, 100), 2)))
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    from redactify_spark.operators.temporal import resample_ffill
+    out = resample_ffill(e).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    actual_buckets = {}
+    for eid, uid, ts, v in rows:
+        actual_buckets.setdefault(uid, set()).add(
+            int(ts.timestamp() * 1_000_000) // 3_600_000_000)
+    for key, rs in by_key.items():
+        buckets = sorted(r.bucket for r in rs)
+        assert buckets == list(range(min(buckets), max(buckets) + 1))
+        assert min(buckets) == min(actual_buckets[key])
+        assert max(buckets) == max(actual_buckets[key])
+        assert all(r.value is not None for r in rs)
+        for r in rs:
+            assert r.filled == (r.bucket not in actual_buckets[key])
