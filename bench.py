@@ -415,6 +415,29 @@ def run_ann_bench(spark, n: int, dim: int = 64) -> dict:
     return out
 
 
+def run_analytics_dag(spark, sf_dir: str, root: str) -> dict:
+    """Third flagship DAG: checkpointed web-analytics pipeline over the
+    events table (sessions -> conversions -> cohorts -> transitions ->
+    rolling actives)."""
+    from redactify_spark.plans import checkpoint as CP
+    from redactify_spark.plans.analytics import analytics_pipeline
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    t0 = time.time()
+    analytics_pipeline(spark, events, root)
+    elapsed = time.time() - t0
+    stages = ("01_sessions", "02_conversions", "03_cohorts",
+              "04_transitions", "05_rolling")
+    return {"sec": round(elapsed, 3), "n_events": n_events,
+            "events_per_sec": round(n_events / elapsed, 1),
+            "n_sessions": CP.read_manifest(root, "01_sessions")["row_count"],
+            "n_conversions":
+                CP.read_manifest(root, "02_conversions")["row_count"],
+            "stage_sec": {s: CP.read_manifest(root, s)["wall_time_sec"]
+                          for s in stages}}
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as E
 
@@ -466,6 +489,10 @@ def bench_once(master_cpus: int, mult: int, sf_dir: str,
             full_dag["corpus_dag"] = run_corpus_dag(
                 spark, sf_dir, mult, corpus_root)
             shutil.rmtree(corpus_root, ignore_errors=True)
+            ana_root = os.path.join(dag_root, "analytics")
+            full_dag["analytics_dag"] = run_analytics_dag(
+                spark, sf_dir, ana_root)
+            shutil.rmtree(ana_root, ignore_errors=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(dag_root, ignore_errors=True)
