@@ -1473,6 +1473,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ORDER BY gid, o_orderpriority, o_orderstatus
         """, o=o)
 
+    def q99_zorder_key(spark, sf):
+        """Morton (Z-order) clustering key over two lineitem dimensions
+        with fixed quantization bounds -- the multi-dimensional data-
+        layout expression (operators/layout.py), value-checked bit for
+        bit against the same interleave arithmetic in SQL.  Output =
+        row counts per 256-key Morton bucket."""
+        from redactify_spark.operators.layout import zorder_key_expr
+        li = _t(spark, sf, "lineitem")
+        key = zorder_key_expr(
+            [F.col("l_quantity"), F.col("l_extendedprice")],
+            [(1.0, 50.0), (900.0, 105000.0)], bits=8)
+        return (li.groupBy(F.floor(key / 256).cast("long").alias("zbucket"))
+                .agg(F.count("*").cast("long").alias("n"))
+                .orderBy("zbucket"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1572,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_association_rules": q96_association_rules,
         "q97_cohort_retention": q97_cohort_retention,
         "q98_grouping_sets": q98_grouping_sets,
+        "q99_zorder_key": q99_zorder_key,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3176,6 +3192,25 @@ def oracle_sql() -> dict[str, str]:
                                 (o_orderstatus),
                                 (o_orderpriority, o_orderstatus))
         ORDER BY gid, o_orderpriority, o_orderstatus
+    """
+
+    # ---- q99: Morton (Z-order) key, interleave unrolled in SQL --------------
+    def _zq(col_sql: str, lo: float, hi: float, levels: int) -> str:
+        return (f"greatest(0, least({levels}, "
+                f"CAST(floor(({col_sql} - {lo}) / {hi - lo} * {levels}"
+                f" + 0.5) AS BIGINT)))")
+
+    _zx = _zq("l_quantity", 1.0, 50.0, 255)
+    _zy = _zq("l_extendedprice", 900.0, 105000.0, 255)
+    _zterms = " + ".join(
+        f"(((qx >> {b}) & 1) << {2 * b}) + (((qy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8))
+    sql["q99_zorder_key"] = f"""
+        WITH q AS (SELECT {_zx} AS qx, {_zy} AS qy FROM lineitem),
+        k AS (SELECT {_zterms} AS zkey FROM q)
+        SELECT CAST(floor(zkey / 256) AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM k GROUP BY zbucket ORDER BY zbucket
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
