@@ -72,3 +72,42 @@ def test_write_table_partition_pruning(spark, triples_and_canon, tmp_path):
     rows = back.count()
     total = IO.read_table(spark, target).count()
     assert 0 < rows < total
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Star join over a hive-partitioned fact table with a filtered dim:
+    Catalyst must inject a dynamic-pruning subquery so only the dim-
+    selected partitions are scanned (the 100-TB star-join pattern)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    fact = (spark.range(5000)
+            .select("id", (F.col("id") % 20).alias("pk"),
+                    (F.col("id") * 2).alias("v")))
+    fpath = str(tmp_path / "fact")
+    fact.write.mode("overwrite").partitionBy("pk").parquet(fpath)
+    dim = spark.range(20).select(F.col("id").alias("pk"),
+                                 (F.col("id") % 4).alias("grp"))
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                          "true")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = (spark.read.parquet(fpath)
+             .join(dim.where(F.col("grp") == 1), "pk")
+             .agg(F.sum("v").alias("s")))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the answer is right
+        expect = (fact.join(dim.where(F.col("grp") == 1), "pk")
+                  .agg(F.sum("v")).collect()[0][0])
+        assert j.collect()[0].s == expect
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)

@@ -58,3 +58,20 @@ def test_compact_table_rejects_remote_scheme(spark):
         compact_table(spark, "s3a://bucket/table")
     with pytest.raises(ValueError, match="local paths"):
         compact_table(spark, "hdfs://nn:8020/warehouse/t")
+
+
+def test_incremental_schema_evolution_merge(spark, tmp_path):
+    """A later tranche adds a column: mergeSchema reads the union table
+    with NULLs for the old tranche -- the crawl-pipeline reality when a
+    new extractor field appears mid-corpus."""
+    d = str(tmp_path / "tranches")
+    spark.createDataFrame([(1, "a")], "id long, text string") \
+        .write.parquet(f"{d}/t0")
+    spark.createDataFrame([(2, "b", "en")],
+                          "id long, text string, lang string") \
+        .write.parquet(f"{d}/t1")
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{d}/t0", f"{d}/t1"))
+    rows = {r.id: (r.text, r.lang) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}
+    assert set(merged.columns) == {"id", "text", "lang"}
