@@ -865,3 +865,19 @@ def test_word_containment_embedded_doc(spark):
     # symmetric Jaccard misses the same pair at any useful threshold
     jac = word_jaccard_pairs_native(docs, threshold=0.3)
     assert (1, 2) not in {(r.id_a, r.id_b) for r in jac.collect()}
+
+
+def test_new_text_ops_null_empty_unicode(spark):
+    """bm25 / containment / gap-fill survive null, empty, and unicode
+    inputs (the driver's standard edge probes)."""
+    from redactify_spark.operators.dedup import word_containment_pairs_native
+    from redactify_spark.operators.textstats import bm25_scores
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s"), (3, "   ", "s"),
+         (4, "café naïve résumé spark", "s"), (5, "spark spark", "s")],
+        "doc_id long, text string, source string")
+    scores = {r.doc_id for r in bm25_scores(docs, ["spark"]).collect()}
+    assert scores == {4, 5}          # null/empty/blank contribute nothing
+    pairs = word_containment_pairs_native(docs, threshold=0.5).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert 1 not in ids              # null text never pairs
