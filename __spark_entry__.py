@@ -1488,6 +1488,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").cast("long").alias("n"))
                 .orderBy("zbucket"))
 
+    def q100_id_assignment(spark, sf):
+        """Deterministic sequential id minting (two-phase zipWithIndex:
+        range shuffle + metadata-sized offsets + narrow pass -- no
+        single-partition window).  Oracle = row_number over the same
+        order.  Verified per-row: id equals the md5 rank."""
+        from redactify_spark.operators.ids import assign_sequential_ids
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        return (assign_sequential_ids(d, "h", partitions=8)
+                .select("doc_id", "seq_id")
+                .orderBy("doc_id"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1588,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_cohort_retention": q97_cohort_retention,
         "q98_grouping_sets": q98_grouping_sets,
         "q99_zorder_key": q99_zorder_key,
+        "q100_id_assignment": q100_id_assignment,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3211,6 +3224,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(zkey / 256) AS BIGINT) AS zbucket,
                CAST(count(*) AS BIGINT) AS n
         FROM k GROUP BY zbucket ORDER BY zbucket
+    """
+
+    # ---- q100: sequential id assignment --------------------------------------
+    sql["q100_id_assignment"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                   AS BIGINT) AS seq_id
+        FROM documents
+        ORDER BY doc_id
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
