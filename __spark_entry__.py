@@ -1222,7 +1222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q85_ntile_quartiles(spark, sf):
         """Per-priority price quartiles via ntile(4) (deterministic
-        orderkey tiebreak) -> per-quartile count/min/max."""
+        orderkey tiebreak) -> per-quartile count/min/max.  Scale note:
+        ntile's per-group total order means one task sorts each
+        priority's rows; with only 5 priorities that is the inherent
+        cost of exact ntile semantics -- for 10^10-row groups use
+        percentile cut points (q63's shape, map-side combinable) and
+        classify rows against them instead."""
         o = _t(spark, sf, "orders")
         w = Window.partitionBy("o_orderpriority") \
                   .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
