@@ -330,6 +330,88 @@ def _dea_valid(s: str) -> bool:
     return total % 10 == ds[6]
 
 
+def _au_abn_valid(s: str) -> bool:
+    """Australian Business Number (Presidio AuAbnRecognizer): 11 digits,
+    subtract 1 from the first, weighted sum mod 89 == 0."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 11:
+        return False
+    ds[0] -= 1
+    w = (10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+    return sum(d * x for d, x in zip(ds, w)) % 89 == 0
+
+
+def _au_acn_valid(s: str) -> bool:
+    """Australian Company Number (AuAcnRecognizer): 9 digits, weighted
+    complement mod 10 equals the check digit."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 9:
+        return False
+    w = (8, 7, 6, 5, 4, 3, 2, 1)
+    return (10 - sum(d * x for d, x in zip(ds, w)) % 10) % 10 == ds[8]
+
+
+def _au_tfn_valid(s: str) -> bool:
+    """Australian Tax File Number (AuTfnRecognizer): 9 digits, weighted
+    sum mod 11 == 0."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 9:
+        return False
+    w = (1, 4, 3, 7, 5, 8, 6, 9, 10)
+    return sum(d * x for d, x in zip(ds, w)) % 11 == 0
+
+
+def _au_medicare_valid(s: str) -> bool:
+    """Australian Medicare number (AuMedicareRecognizer): 10 digits,
+    first 2-6, weighted sum of the first 8 mod 10 equals digit 9."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 10 or not 2 <= ds[0] <= 6:
+        return False
+    w = (1, 3, 7, 9, 1, 3, 7, 9)
+    return sum(d * x for d, x in zip(ds[:8], w)) % 10 == ds[8]
+
+
+def _sg_nric_valid(s: str) -> bool:
+    """Singapore NRIC/FIN (SgFinRecognizer semantics): [STFG] + 7 digits
+    + checksum letter (weights 2,7,6,5,4,3,2; +4 offset for T/G series;
+    series-specific letter tables)."""
+    s = s.upper()
+    if len(s) != 9 or s[0] not in "STFG" or not s[1:8].isdigit():
+        return False
+    w = (2, 7, 6, 5, 4, 3, 2)
+    total = sum(int(d) * x for d, x in zip(s[1:8], w))
+    if s[0] in "TG":
+        total += 4
+    table = "JZIHGFEDCBA" if s[0] in "ST" else "XWUTRQPNMLK"
+    return table[total % 11] == s[8]
+
+
+# Verhoeff checksum tables (dihedral group D5) for IN_AADHAAR
+_VH_D = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9), (1, 2, 3, 4, 0, 6, 7, 8, 9, 5),
+    (2, 3, 4, 0, 1, 7, 8, 9, 5, 6), (3, 4, 0, 1, 2, 8, 9, 5, 6, 7),
+    (4, 0, 1, 2, 3, 9, 5, 6, 7, 8), (5, 9, 8, 7, 6, 0, 4, 3, 2, 1),
+    (6, 5, 9, 8, 7, 1, 0, 4, 3, 2), (7, 6, 5, 9, 8, 2, 1, 0, 4, 3),
+    (8, 7, 6, 5, 9, 3, 2, 1, 0, 4), (9, 8, 7, 6, 5, 4, 3, 2, 1, 0))
+_VH_P = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9), (1, 5, 7, 6, 2, 8, 3, 0, 9, 4),
+    (5, 8, 0, 3, 7, 9, 6, 1, 4, 2), (8, 9, 1, 6, 0, 4, 3, 5, 2, 7),
+    (9, 4, 5, 3, 1, 2, 6, 8, 7, 0), (4, 2, 8, 6, 5, 7, 3, 9, 0, 1),
+    (2, 7, 9, 3, 8, 0, 6, 4, 1, 5), (7, 0, 4, 6, 9, 1, 3, 2, 5, 8))
+
+
+def _aadhaar_valid(s: str) -> bool:
+    """Indian Aadhaar (InAadhaarRecognizer): 12 digits, first in 2-9,
+    Verhoeff checksum."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 12 or ds[0] < 2:
+        return False
+    c = 0
+    for i, d in enumerate(reversed(ds)):
+        c = _VH_D[c][_VH_P[i % 8][d]]
+    return c == 0
+
+
 # Recognizer registry: (type, pattern, base_score, validator,
 # context_terms).  Pattern shapes and score tiers follow the public
 # Presidio predefined recognizers (presidio_analyzer/predefined_
@@ -385,6 +467,31 @@ _PRESIDIO_RULES: list[dict] = [
     dict(type="US_BANK_NUMBER", score=0.05,
          pat=re.compile(r"\b[0-9]{8,17}\b"),
          context=("bank", "account", "routing", "checking", "saving")),
+    # Country recognizers the en-language default registry also loads
+    # (AU/SG/IN ship supported_language="en"); checksum-validated -> 1.0
+    dict(type="AU_ABN", score=1.0,
+         pat=re.compile(r"\b\d{2}\s?\d{3}\s?\d{3}\s?\d{3}\b"),
+         validator=_au_abn_valid),
+    dict(type="AU_ACN", score=1.0,
+         pat=re.compile(r"\b\d{3}\s?\d{3}\s?\d{3}\b"),
+         validator=_au_acn_valid),
+    dict(type="AU_TFN", score=1.0,
+         pat=re.compile(r"\b\d{3}\s?\d{3}\s?\d{3}\b"),
+         validator=_au_tfn_valid),
+    dict(type="AU_MEDICARE", score=1.0,
+         pat=re.compile(r"\b[2-6]\d{3}\s?\d{5}\s?\d\b"),
+         validator=_au_medicare_valid),
+    dict(type="SG_NRIC_FIN", score=1.0,
+         pat=re.compile(r"\b[STFGstfg]\d{7}[A-Za-z]\b"),
+         validator=_sg_nric_valid),
+    dict(type="IN_PAN", score=0.85,
+         # 4th char is the holder-type letter (InPanRecognizer's
+         # high-confidence pattern), case-insensitive like Presidio's
+         pat=re.compile(r"\b[A-Za-z]{3}[AaBbCcFfGgHhJjLlPpTt][A-Za-z]"
+                        r"\d{4}[A-Za-z]\b")),
+    dict(type="IN_AADHAAR", score=1.0,
+         pat=re.compile(r"\b[2-9]\d{3}\s?\d{4}\s?\d{4}\b"),
+         validator=_aadhaar_valid),
 ]
 
 _PRESIDIO_CONTEXT_WINDOW = 40   # chars each side (lemma-window stand-in)

@@ -105,3 +105,45 @@ def test_bank_number_context_boost():
     assert ("US_BANK_NUMBER", 0.4) in with_ctx
     without = presidio_types("value 123456789012 observed")
     assert not any(e == "US_BANK_NUMBER" and s >= 0.3 for e, s in without)
+
+
+def test_au_recognizers_checksums():
+    """AU ABN/ACN/TFN/Medicare: published real-world-valid examples hit
+    at 1.0; a flipped digit kills the checksum (dropped, not rescored)."""
+    from redactify_spark.detect.kernel import detect_presidio
+
+    def hits(text, etype):
+        return [e for e in detect_presidio(text)
+                if e["entity_group"] == etype]
+
+    # ATO's published example ABN
+    assert hits("business ABN 51 824 753 556 registered", "AU_ABN")
+    assert not hits("business ABN 51 824 753 557 registered", "AU_ABN")
+    # ASIC's published example ACN
+    assert hits("company ACN 000 000 019 on file", "AU_ACN")
+    assert not hits("company ACN 000 000 018 on file", "AU_ACN")
+    # the classic valid test TFN
+    assert hits("tax file number 123 456 782", "AU_TFN")
+    assert not hits("tax file number 123 456 783", "AU_TFN")
+    assert hits("medicare card 2123 45670 1", "AU_MEDICARE")
+    assert not hits("medicare card 2123 45671 1", "AU_MEDICARE")
+
+
+def test_sg_nric_and_in_recognizers():
+    from redactify_spark.detect.kernel import detect_presidio
+
+    def hits(text, etype):
+        return [e for e in detect_presidio(text)
+                if e["entity_group"] == etype]
+
+    # series-correct checksum letters (S/T tables differ by +4 offset)
+    assert hits("NRIC S1234567D holder", "SG_NRIC_FIN")
+    assert hits("FIN T0000001E holder", "SG_NRIC_FIN")
+    assert hits("FIN F2345678T holder", "SG_NRIC_FIN")
+    assert not hits("NRIC S1234567E holder", "SG_NRIC_FIN")
+    # PAN: 4th char restricted to holder-type letters
+    assert hits("pan card ABCPX1234K", "IN_PAN")
+    assert not hits("pan card ABCDX1234K", "IN_PAN")   # 'D' not a type
+    # Aadhaar: Verhoeff-validated
+    assert hits("aadhaar 2345 6789 0124", "IN_AADHAAR")
+    assert not hits("aadhaar 2345 6789 0123", "IN_AADHAAR")
