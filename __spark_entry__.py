@@ -1505,6 +1505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "seq_id")
                 .orderBy("doc_id"))
 
+    def q101_image_phash_dedup(spark, sf):
+        """REAL image near-dup detection end to end: binary PPM decode
+        (pure numpy) -> 64-bit DCT perceptual hash -> banded hamming
+        pairs.  Rows-only (the DCT kernel has no SQL mirror); the exact
+        planted-pair set is pinned in pytest."""
+        from redactify_spark.operators.multimodal import (image_phashes,
+                                                          phash_dup_pairs,
+                                                          synth_image_media)
+        media = synth_image_media(spark, 200)
+        return (phash_dup_pairs(image_phashes(media), max_hamming=10)
+                .orderBy("id_a", "id_b"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1606,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_grouping_sets": q98_grouping_sets,
         "q99_zorder_key": q99_zorder_key,
         "q100_id_assignment": q100_id_assignment,
+        "q101_image_phash_dedup": q101_image_phash_dedup,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every

@@ -1,10 +1,15 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with a
+REAL pure-numpy image path.
 
-Images/audio/video ride as `binary` columns with a metadata struct; the
-Spark-side plumbing (schema, batching, partition sizing, UDF signatures)
-is real and tested, while the codec step is stubbed: the container has
-no image/audio libraries, so `decode_image` raises NotImplementedError
-unless a deterministic fake decoder is requested (used by tests).
+Images/audio/video ride as `binary` columns with a metadata struct.
+The image codec is real for uncompressed formats -- PPM (P6) encode +
+decode and 24-bit BMP decode in pure numpy, magic-byte sniffed -- and
+feeds real processing: BT.601 grayscale, bilinear resize, and a 64-bit
+DCT perceptual hash (the classic pHash recipe) with banded near-dup
+pairing (`image_phashes` / `phash_dup_pairs`).  Compressed formats
+(PNG/JPEG) need an imaging library absent from this container and
+raise NotImplementedError; the deterministic fake decoder remains for
+plumbing tests over arbitrary bytes.
 
 Batch-shape contract: mapInPandas over Arrow record batches; binary
 payloads arrive as Python bytes inside pandas object columns.  At 100 TB
@@ -67,18 +72,135 @@ def synth_media(spark: SparkSession, n: int,
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 array -> binary PPM (P6) bytes.  Pure numpy: lets the
+    pipeline round-trip REAL image payloads with no imaging library."""
+    h, w = arr.shape[:2]
+    return (b"P6\n%d %d\n255\n" % (w, h)
+            + np.ascontiguousarray(arr, dtype=np.uint8).tobytes())
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> uint8 HxWx3."""
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":          # comment to end of line
+            while payload[i:i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval 255 PPM supported")
+    i += 1  # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> uint8 HxWx3 (rows stored bottom-up,
+    BGR, 4-byte padded -- the Windows DIB baseline)."""
+    import struct
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
+                         offset=offset).reshape(abs(h), stride)
+    img = rows[:, :w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h > 0:
+        img = img[::-1]                                      # bottom-up
+    return img.copy()
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Codec boundary.  Real decode requires an image library not present
-    in this container -- STUB (NotImplementedError).  `fake=True` yields a
-    deterministic 8x8 grayscale array derived from the payload hash, used
-    to exercise the full Spark plumbing in tests."""
+    """Codec boundary.  PPM (P6) and uncompressed 24-bit BMP decode for
+    REAL with pure numpy (magic-byte sniffed); compressed formats
+    (PNG/JPEG) require an imaging library absent from this container and
+    raise NotImplementedError.  `fake=True` keeps the deterministic
+    8x8 hash decoder for plumbing tests on arbitrary bytes."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow); "
-            "not available in this environment -- pass fake=True for the "
-            "deterministic test decoder")
+            "only PPM/BMP decode natively; PNG/JPEG require an imaging "
+            "library (e.g. Pillow) not available in this environment -- "
+            "pass fake=True for the deterministic test decoder")
     h = hashlib.md5(payload).digest() * 4
     return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+
+
+def to_grayscale(arr: np.ndarray) -> np.ndarray:
+    """HxWx3 -> HxW float32 (ITU-R BT.601 luma)."""
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    return (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+            + 0.114 * arr[..., 2]).astype(np.float32)
+
+
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """HxW float -> out_h x out_w via bilinear sampling (pure numpy)."""
+    h, w = arr.shape[:2]
+    ys = np.linspace(0, h - 1, out_h)
+    xs = np.linspace(0, w - 1, out_w)
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    a = arr[np.ix_(y0, x0)]
+    b = arr[np.ix_(y0, x1)]
+    c = arr[np.ix_(y1, x0)]
+    d = arr[np.ix_(y1, x1)]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (cached)."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic pHash recipe): grayscale
+    -> 32x32 bilinear -> 2-D DCT-II -> top-left 8x8 low-frequency block
+    (DC term excluded from the median) -> bit = coeff > median.  Robust
+    to resizing and small noise; pure numpy."""
+    g = resize_bilinear(to_grayscale(arr), 32, 32)
+    d = _dct_matrix(32)
+    coeffs = d @ g @ d.T
+    block = coeffs[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits & 0x7FFFFFFFFFFFFFFF  # keep in signed-long range
 
 
 _FEATURE_SCHEMA = T.StructType([
@@ -121,3 +243,95 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(0),
                         F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
                         F.lit(every_ms))).alias("frame_ts")))
+
+
+def synth_image_media(spark: SparkSession, n: int,
+                      partitions: int | None = None,
+                      size: int = 48) -> DataFrame:
+    """REAL image corpus: every payload is a decodable binary PPM
+    (deterministic md5-textured block pattern per id -- block texture,
+    not a smooth gradient, so per-image DCT spectra are diverse and
+    perceptual hashes separate; gradients collapse every image onto the
+    same low-frequency bins).  Ids with id % 10 == 1 are a
+    lightly-noised copy of id-1's image -- planted near-dups for the
+    perceptual-hash dedup path."""
+    rng = spark.range(0, n, 1,
+                      partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for i in pdf["id"].tolist():
+                i = int(i)
+                base = i - 1 if i % 10 == 1 else i
+                blocks = size // 8
+                raw = b""
+                j = 0
+                while len(raw) < blocks * blocks * 3:
+                    raw += hashlib.md5(f"img{base}:{j}".encode()).digest()
+                    j += 1
+                grid = np.frombuffer(raw[:blocks * blocks * 3],
+                                     dtype=np.uint8) \
+                    .reshape(blocks, blocks, 3)
+                img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                if i != base:  # planted near-dup: small deterministic noise
+                    noise = np.frombuffer(
+                        (hashlib.md5(f"noise{i}".encode()).digest()
+                         * (size * size * 3 // 16 + 1))[:size * size * 3],
+                        dtype=np.uint8).reshape(size, size, 3)
+                    img = np.clip(img.astype(np.int16)
+                                  + (noise % 9).astype(np.int16) - 4,
+                                  0, 255).astype(np.uint8)
+                rows["media_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_ppm(img))
+                rows["meta"].append({"mime": "image/x-portable-pixmap",
+                                     "width": size, "height": size,
+                                     "duration_ms": None})
+            yield pd.DataFrame(rows)
+
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """(media_id, phash): REAL decode -> 64-bit DCT perceptual hash, one
+    Arrow-batched pass (the image analogue of doc_simhash)."""
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                hs.append(phash64(decode_image(bytes(payload))))
+            yield pd.DataFrame({"media_id": ids, "phash": hs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        ph, schema=_PHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate images by perceptual-hash
+    distance, blocked on 4x16-bit bands (a pair within hamming 3 shares
+    at least one exact band -- same pigeonhole as SimHash dedup; wider
+    tolerances may miss band-straddling pairs, the standard trade)."""
+    bands = hashes.select(
+        "media_id", "phash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("phash"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+            for b in range(4)])).alias("band", "sig"))
+    a = bands.select("band", "sig", F.col("media_id").alias("id_a"),
+                     F.col("phash").alias("h_a"))
+    b = bands.select("band", "sig", F.col("media_id").alias("id_b"),
+                     F.col("phash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (a.join(b, ["band", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

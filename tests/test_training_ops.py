@@ -881,3 +881,67 @@ def test_new_text_ops_null_empty_unicode(spark):
     pairs = word_containment_pairs_native(docs, threshold=0.5).collect()
     ids = {i for r in pairs for i in (r.id_a, r.id_b)}
     assert 1 not in ids              # null text never pairs
+
+
+def test_real_image_codec_roundtrip_and_phash(spark):
+    """PPM encode/decode round-trips exactly; BMP decode agrees; pHash
+    is identical for identical images, near for noised copies, far for
+    different images."""
+    import struct
+
+    img = np.zeros((20, 24, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:20, 0:24]
+    img[..., 0] = (xx * 10) % 256
+    img[..., 1] = (yy * 12) % 256
+    img[..., 2] = (xx + yy) % 256
+
+    ppm = M.encode_ppm(img)
+    back = M.decode_image(ppm)
+    assert back.dtype == np.uint8 and (back == img).all()
+
+    # hand-rolled 24-bit BMP of the same pixels must decode identically
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in img[::-1]:                      # bottom-up, BGR, padded
+        body += row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    assert (M.decode_image(header + body) == img).all()
+
+    # pHash: use a TEXTURED image (hash blocks) -- a smooth gradient
+    # concentrates all DCT energy in the same low bins and pHash cannot
+    # separate anything, which is a property of the hash, not a bug
+    import hashlib as _h
+    raw = b"".join(_h.md5(f"t{j}".encode()).digest() for j in range(9))
+    grid = np.frombuffer(raw[:108], dtype=np.uint8).reshape(6, 6, 3)
+    tex = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+    h0 = M.phash64(tex)
+    assert h0 == M.phash64(tex.copy())
+    noisy = np.clip(tex.astype(np.int16)
+                    + np.arange(tex.size).reshape(tex.shape) % 7 - 3,
+                    0, 255).astype(np.uint8)
+    raw2 = b"".join(_h.md5(f"u{j}".encode()).digest() for j in range(9))
+    other = np.repeat(np.repeat(
+        np.frombuffer(raw2[:108], dtype=np.uint8).reshape(6, 6, 3),
+        8, axis=0), 8, axis=1)
+    assert bin(h0 ^ M.phash64(noisy)).count("1") <= 8
+    assert bin(h0 ^ M.phash64(other)).count("1") >= 16
+
+
+def test_image_phash_dedup_pipeline(spark):
+    """REAL decode end to end on Spark: planted near-dup images pair up
+    by perceptual hash; unrelated images do not."""
+    media = M.synth_image_media(spark, 40, partitions=3)
+    hashes = M.image_phashes(media)
+    assert hashes.count() == 40
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in M.phash_dup_pairs(hashes, max_hamming=10).collect()}
+    planted = {(i - 1, i) for i in range(1, 40, 10)}
+    assert planted <= set(pairs), (sorted(pairs), sorted(planted))
+    for p in planted:
+        assert pairs[p] <= 10
+    # no cross-pairing of unrelated base images at this tolerance
+    assert not {p for p in pairs if p not in planted
+                and p[1] - p[0] != 1}, pairs
