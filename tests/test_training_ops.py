@@ -945,3 +945,58 @@ def test_image_phash_dedup_pipeline(spark):
     # no cross-pairing of unrelated base images at this tolerance
     assert not {p for p in pairs if p not in planted
                 and p[1] - p[0] != 1}, pairs
+
+
+def test_real_audio_codec_and_fingerprint(spark):
+    """WAV round-trip (incl. stereo downmix), feature sanity, and
+    fingerprint robustness: identical signals hash identically, light
+    noise stays close, different signals diverge."""
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    samples = (x * 20000).astype(np.int16)
+    wav = M.encode_wav(samples, rate)
+    back, r2 = M.decode_wav(wav)
+    assert r2 == rate and len(back) == len(samples)
+    assert np.abs(back - samples / 32768.0).max() < 1e-4
+
+    # stereo: interleave two channels, decode averages to mono
+    import struct
+    stereo = np.empty(len(samples) * 2, dtype=np.int16)
+    stereo[0::2] = samples
+    stereo[1::2] = -samples
+    data = stereo.astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, rate,
+                                   rate * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    mono, _ = M.decode_wav(hdr + data)
+    assert np.abs(mono).max() < 1e-4     # L + R cancel
+
+    f0 = M.audio_fingerprint64(x)
+    assert f0 == M.audio_fingerprint64(x.copy())
+    assert f0 == M.audio_fingerprint64(x * 0.5)   # amplitude-invariant
+    noisy = x + 0.001 * np.sin(2 * np.pi * 3777 * t).astype(np.float32)
+    other = (0.5 * np.sin(2 * np.pi * 97 * t)
+             * np.sin(2 * np.pi * 3 * t)).astype(np.float32)
+    assert bin(f0 ^ M.audio_fingerprint64(noisy)).count("1") <= 8
+    assert bin(f0 ^ M.audio_fingerprint64(other)).count("1") >= 12
+
+
+def test_audio_features_pipeline(spark):
+    """REAL WAV decode end to end on Spark: features sane, planted
+    near-dup audio pairs recovered by fingerprint, no false pairs."""
+    from pyspark.sql import functions as F
+    media = M.synth_audio_media(spark, 40, partitions=3)
+    feats = M.audio_features(media)
+    rows = feats.collect()
+    assert len(rows) == 40
+    assert all(r.duration_ms == 500 and 0.05 < r.rms < 1.0
+               and 0.0 < r.zero_cross_rate < 1.0 for r in rows)
+    hashes = feats.select("media_id",
+                          F.col("fingerprint").alias("phash"))
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in M.phash_dup_pairs(hashes, max_hamming=8).collect()}
+    planted = {(i - 1, i) for i in range(1, 40, 10)}
+    assert planted <= set(pairs), (sorted(pairs), sorted(planted))
+    assert not {p for p in pairs if p not in planted}, pairs
