@@ -1443,17 +1443,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q97_cohort_retention(spark, sf):
         """Cohort retention matrix: users cohorted by first-activity
-        week, distinct actives per (cohort, week offset).  Two grouped
-        aggregations and one broadcast-sized cohort join."""
+        week, distinct actives per (cohort, week offset).  Cohort week
+        comes from a per-user window min (one keyed shuffle -- a
+        broadcast of the per-user table would be user-cardinality and
+        never broadcastable at scale)."""
         e = _t(spark, sf, "events")
         weeks = (e.select(
             "user_id",
             F.floor(F.datediff(F.to_date(F.col("ts").cast("timestamp")),
                                F.lit("2024-01-01").cast("date")) / 7)
             .alias("week")).distinct())
-        cohort = weeks.groupBy("user_id").agg(
-            F.min("week").alias("cohort_week"))
-        return (weeks.join(F.broadcast(cohort), "user_id")
+        cohort_week = F.min("week").over(Window.partitionBy("user_id"))
+        return (weeks.withColumn("cohort_week", cohort_week)
                 .groupBy("cohort_week",
                          (F.col("week") - F.col("cohort_week"))
                          .alias("week_offset"))

@@ -116,7 +116,11 @@ def files_pruned_fraction(path: str, predicate: dict[str, tuple]) -> float:
         return 0.0
     kept = 0
     for s in stats:
-        hit = all(not (s[f"{c}_max"] < lo or s[f"{c}_min"] > hi)
-                  for c, (lo, hi) in predicate.items())
+        # a file with missing stats for any predicate column cannot be
+        # skipped -- conservatively keep it (standard pruning semantics)
+        hit = all(
+            s[f"{c}_min"] is None or s[f"{c}_max"] is None
+            or not (s[f"{c}_max"] < lo or s[f"{c}_min"] > hi)
+            for c, (lo, hi) in predicate.items())
         kept += hit
     return 1.0 - kept / len(stats)

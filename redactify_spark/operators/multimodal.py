@@ -131,17 +131,21 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     (PNG/JPEG) require an imaging library absent from this container and
     raise NotImplementedError.  `fake=True` keeps the deterministic
     8x8 hash decoder for plumbing tests on arbitrary bytes."""
+    if fake:
+        # the fake contract is unconditional: arbitrary bytes (including
+        # ones that happen to start with a codec magic) must yield the
+        # deterministic array, never a header-parse crash
+        h = hashlib.md5(payload).digest() * 4
+        return np.frombuffer(h, dtype=np.uint8).reshape(8, 8) \
+            .astype(np.float32)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    if not fake:
-        raise NotImplementedError(
-            "only PPM/BMP decode natively; PNG/JPEG require an imaging "
-            "library (e.g. Pillow) not available in this environment -- "
-            "pass fake=True for the deterministic test decoder")
-    h = hashlib.md5(payload).digest() * 4
-    return np.frombuffer(h, dtype=np.uint8).reshape(8, 8).astype(np.float32)
+    raise NotImplementedError(
+        "only PPM/BMP decode natively; PNG/JPEG require an imaging "
+        "library (e.g. Pillow) not available in this environment -- "
+        "pass fake=True for the deterministic test decoder")
 
 
 def to_grayscale(arr: np.ndarray) -> np.ndarray:
@@ -264,7 +268,8 @@ def synth_image_media(spark: SparkSession, n: int,
             for i in pdf["id"].tolist():
                 i = int(i)
                 base = i - 1 if i % 10 == 1 else i
-                blocks = size // 8
+                blocks = max(1, size // 8)
+                actual = blocks * 8   # meta must describe the PAYLOAD
                 raw = b""
                 j = 0
                 while len(raw) < blocks * blocks * 3:
@@ -286,7 +291,7 @@ def synth_image_media(spark: SparkSession, n: int,
                 rows["kind"].append("image")
                 rows["payload"].append(encode_ppm(img))
                 rows["meta"].append({"mime": "image/x-portable-pixmap",
-                                     "width": size, "height": size,
+                                     "width": actual, "height": actual,
                                      "duration_ms": None})
             yield pd.DataFrame(rows)
 

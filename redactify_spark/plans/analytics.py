@@ -52,9 +52,11 @@ def analytics_pipeline(spark: SparkSession, events: DataFrame, root: str,
             F.floor(F.datediff(F.to_date(F.col("ts").cast("timestamp")),
                                F.lit(cohort_epoch).cast("date")) / 7)
             .alias("week")).distinct())
-        cohort = weeks.groupBy("user_id").agg(
-            F.min("week").alias("cohort_week"))
-        return (weeks.join(F.broadcast(cohort), "user_id")
+        # cohort week via a per-user window min: one keyed shuffle.  A
+        # broadcast of the per-user cohort table would be user-
+        # cardinality -- gigabytes at 10^9 users, never broadcastable.
+        cohort_week = F.min("week").over(Window.partitionBy("user_id"))
+        return (weeks.withColumn("cohort_week", cohort_week)
                 .groupBy("cohort_week",
                          (F.col("week") - F.col("cohort_week"))
                          .alias("week_offset"))
