@@ -111,3 +111,35 @@ def test_pipeline_report_covers_all_stages(spark, root):
     rows = rep.collect()
     assert all(r.row_count >= 0 and r.wall_time_sec > 0
                and r.n_partitions >= 1 for r in rows)
+
+
+def test_audit_pipeline_tool(spark, tmp_path):
+    """The audit CLI verifies intact stages and flags a tampered one."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from redactify_spark.plans import checkpoint as CP
+
+    root = str(tmp_path / "audit_root")
+    CP.run_stage(spark, root, "s1",
+                 lambda: spark.range(100).selectExpr("id", "id * 2 AS v"))
+    CP.run_stage(spark, root, "s2",
+                 lambda: spark.range(10).selectExpr("id"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, f"{repo}/tools/audit_pipeline.py", root,
+           "--master", "local[2]"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("OK") == 2
+
+    # tamper with a manifest: audit must fail loudly
+    mp = os.path.join(root, "s2", "_manifest.json")
+    m = json.load(open(mp))
+    m["row_count"] += 1
+    json.dump(m, open(mp, "w"))
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 1
+    assert "FAIL  s2" in r2.stdout and "OK    s1" in r2.stdout
