@@ -1518,6 +1518,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (phash_dup_pairs(image_phashes(media), max_hamming=10)
                 .orderBy("id_a", "id_b"))
 
+    def q102_wow_revenue(spark, sf):
+        """Week-over-week revenue change per order priority: aggregate
+        to the weekly series first (map-side combinable), THEN lag over
+        the tiny aggregated frame -- the window never touches row-level
+        data, so the per-priority sort is priorities x weeks rows."""
+        o = _t(spark, sf, "orders")
+        week = F.floor(F.datediff(
+            F.to_date(F.col("o_orderdate").cast("timestamp")),
+            F.lit("1992-01-01").cast("date")) / 7)
+        weekly = (o.groupBy("o_orderpriority", week.alias("week"))
+                  .agg(F.sum("o_totalprice").alias("rev")))
+        w = Window.partitionBy("o_orderpriority").orderBy("week")
+        prev = F.lag("rev").over(w)
+        return (weekly
+                .select("o_orderpriority", "week",
+                        F.round("rev", 2).alias("revenue"),
+                        F.round(F.when(prev.isNotNull(),
+                                       (F.col("rev") - prev) / prev * 100),
+                                4).alias("wow_pct"))
+                .orderBy("o_orderpriority", "week"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1620,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_zorder_key": q99_zorder_key,
         "q100_id_assignment": q100_id_assignment,
         "q101_image_phash_dedup": q101_image_phash_dedup,
+        "q102_wow_revenue": q102_wow_revenue,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3253,6 +3275,25 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS seq_id
         FROM documents
         ORDER BY doc_id
+    """
+
+    # ---- q102: week-over-week revenue change --------------------------------
+    sql["q102_wow_revenue"] = """
+        WITH weekly AS (
+            SELECT o_orderpriority,
+                   CAST(floor(datediff('day', DATE '1992-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS week,
+                   sum(o_totalprice) AS rev
+            FROM orders
+            GROUP BY o_orderpriority, week)
+        SELECT o_orderpriority, week,
+               round(rev, 2) AS revenue,
+               round((rev - lag(rev) OVER w) / lag(rev) OVER w * 100, 4)
+                   AS wow_pct
+        FROM weekly
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week)
+        ORDER BY o_orderpriority, week
     """
 
     # ---- q85: ntile quartiles ------------------------------------------------
