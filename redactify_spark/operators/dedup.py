@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from redactify_spark.operators.linking import (MAX_BUCKET, N_BANDS,
+from redactify_spark.operators.linking import (MAX_BUCKET,
                                                minhash_signature,
                                                normalize_surface,
                                                band_signatures)

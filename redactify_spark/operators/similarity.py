@@ -193,7 +193,6 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     driver-side sample is capped), while ASSIGNMENT stays fully
     distributed -- the expensive part scales, the cheap part doesn't
     need to."""
-    import hashlib as _h
     sample = (embeddings
               .withColumn("_o", F.md5(F.col("vec_id").cast("string")))
               .orderBy("_o").limit(max(20 * n_cells, 512))
