@@ -118,3 +118,22 @@ def test_batch_matches_single():
     outs = A.anonymize_batch(texts, ents)
     assert outs[0] == A.anonymize_text(texts[0], ents[0])
     assert outs[1] == A.anonymize_text(texts[1], ents[1])
+
+
+def test_new_country_types_anonymize_via_generic_path():
+    """AU/SG/IN entity types (no type-specific mask exists, same as the
+    reference) flow through the generic mask / pseudonym / redact
+    strategies end to end."""
+    from redactify_spark.detect import anonymize as A
+    from redactify_spark.detect import kernel as K
+    text = "business ABN 51 824 753 556 and NRIC S1234567D on file"
+    ments = K.detect_document(text)
+    types = {m["entity_group"] for m in ments}
+    assert {"AU_ABN", "SG_NRIC_FIN"} <= types
+    assert A.anonymize_text(text, ments, "mask") == \
+        "business ABN 51*********556 and NRIC S1*****7D on file"
+    assert A.anonymize_text(text, ments, "pseudonymize") == \
+        "business ABN [AU_ABN-2295a0] and NRIC [SG_NRIC_FIN-73b95d] on file"
+    assert A.anonymize_text(text, ments, "redact") == \
+        "business ABN [REDACTED-AU_ABN] and NRIC [REDACTED-SG_NRIC_FIN] " \
+        "on file"
