@@ -445,7 +445,9 @@ def run_queries(spark, sf_dir: str) -> dict:
     picks = ["q01_lineitem_agg", "q05_broadcast_dim_join", "q11_topk",
              "q15_ngram_jaccard", "q16_token_stats", "q20_time_window_agg",
              "q30_detect_mentions", "q31_triples", "q36_minhash_dedup",
-             "q38_ann_topk", "q54_minhash_native", "q57_pagerank"]
+             "q38_ann_topk", "q54_minhash_native", "q57_pagerank",
+             # round-3 additions (additive: earlier keys stay comparable)
+             "q80_bm25", "q96_association_rules", "q99_zorder_key"]
     out = {}
     for name in picks:
         t0 = time.time()
