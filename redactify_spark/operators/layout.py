@@ -35,8 +35,10 @@ def zorder_key_expr(cols: list[Column], bounds: list[tuple[float, float]],
     """Morton key: each column is quantized to `bits` levels over its
     [lo, hi] bounds, then the bit planes are interleaved (column i
     contributes bit b to output position b*len(cols)+i).  Ties/out-of-
-    range values clamp to the edge cells.  bits*len(cols) must fit a
-    long (<= 62)."""
+    range values clamp to the edge cells; NULLs quantize to the LOW
+    edge (cell 0) so the key is never NULL and null rows cluster at
+    the curve origin instead of forming an implicit NULL partition.
+    bits*len(cols) must fit a long (<= 62)."""
     n = len(cols)
     if bits * n > 62:
         raise ValueError(f"bits*cols = {bits * n} exceeds long range")
@@ -46,7 +48,8 @@ def zorder_key_expr(cols: list[Column], bounds: list[tuple[float, float]],
         span = (hi - lo) or 1.0
         q = F.floor((c.cast("double") - F.lit(float(lo)))
                     / F.lit(float(span)) * levels + 0.5).cast("long")
-        q = F.greatest(F.lit(0), F.least(F.lit(levels), q))
+        q = F.coalesce(
+            F.greatest(F.lit(0), F.least(F.lit(levels), q)), F.lit(0))
         for b in range(bits):
             key = key + F.shiftleft(
                 F.shiftright(q, b).bitwiseAND(F.lit(1)),
@@ -67,8 +70,16 @@ def zorder_write(df: DataFrame, path: str, by: list[str],
             aggs += [F.min(F.col(c).cast("double")),
                      F.max(F.col(c).cast("double"))]
         row = df.agg(*aggs).collect()[0]
-        bounds = [(float(row[2 * i]), float(row[2 * i + 1]))
-                  for i in range(len(by))]
+        bounds = []
+        for i, c in enumerate(by):
+            lo, hi = row[2 * i], row[2 * i + 1]
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"zorder_write: column {c!r} is all-NULL; clustered "
+                    "columns need at least one non-null value (NULL keys "
+                    "would otherwise quantize to NULL and cluster "
+                    "together silently)")
+            bounds.append((float(lo), float(hi)))
     key = zorder_key_expr([F.col(c) for c in by], bounds, bits)
     (df.withColumn("_zkey", key)
        .repartitionByRange(n_files, "_zkey")
@@ -94,7 +105,8 @@ def file_stats_report(path: str, cols: list[str]) -> list[dict]:
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
-                    if name in cols and col.statistics is not None:
+                    if (name in cols and col.statistics is not None
+                            and col.statistics.has_min_max):
                         s = col.statistics
                         if lo[name] is None or s.min < lo[name]:
                             lo[name] = s.min

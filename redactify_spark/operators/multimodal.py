@@ -282,8 +282,9 @@ def synth_image_media(spark: SparkSession, n: int,
                 if i != base:  # planted near-dup: small deterministic noise
                     noise = np.frombuffer(
                         (hashlib.md5(f"noise{i}".encode()).digest()
-                         * (size * size * 3 // 16 + 1))[:size * size * 3],
-                        dtype=np.uint8).reshape(size, size, 3)
+                         * (actual * actual * 3 // 16 + 1))
+                        [:actual * actual * 3],
+                        dtype=np.uint8).reshape(actual, actual, 3)
                     img = np.clip(img.astype(np.int16)
                                   + (noise % 9).astype(np.int16) - 4,
                                   0, 255).astype(np.uint8)

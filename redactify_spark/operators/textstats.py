@@ -275,8 +275,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     term) broadcast back.  The only corpus-wide aggregates are two
     scalars (N and avgdl), computed in one map-side-combinable pass --
     pass `n_docs`/`avgdl` from table stats to skip even that.  avgdl is
-    rounded to 6 decimals so an external oracle computing the same
-    rounded scalar gets bit-equal scores."""
+    rounded to 6 decimals half-AWAY-from-zero (matching SQL round(),
+    not Python's banker's rounding) so an external oracle computing the
+    same rounded scalar gets bit-equal scores."""
+    import math
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    "[^a-z0-9]+", " "))
     toks = F.when(norm == "", F.array().cast("array<string>")) \
@@ -288,7 +290,8 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
                        F.avg("dl").alias("a")).collect()[0]
         n_docs = n_docs if n_docs is not None else int(row.n)
         avgdl = avgdl if avgdl is not None else float(row.a)
-    avgdl = round(avgdl, 6)
+    avgdl = math.floor(abs(avgdl) * 1e6 + 0.5) / 1e6 * (
+        -1.0 if avgdl < 0 else 1.0)
     terms = sorted(set(query_terms))
     tf = (lens.select("doc_id", "dl", F.explode("_toks").alias("token"))
           .where(F.col("token").isin(terms))

@@ -79,8 +79,12 @@ def _parquet_footer_counts(path: str) -> dict[str, int]:
     for dp, _, fs in os.walk(path):
         for f in sorted(fs):
             if f.endswith(".parquet"):
-                out[f] = pq.ParquetFile(os.path.join(dp, f)) \
-                    .metadata.num_rows
+                full = os.path.join(dp, f)
+                # key by path RELATIVE to the stage data dir, so a
+                # partitioned (subdir) layout can't collapse colliding
+                # part-00000 basenames into one entry
+                out[os.path.relpath(full, path)] = \
+                    pq.ParquetFile(full).metadata.num_rows
     return out
 
 

@@ -947,6 +947,19 @@ def test_image_phash_dedup_pipeline(spark):
                 and p[1] - p[0] != 1}, pairs
 
 
+def test_synth_image_media_non_multiple_of_8_size(spark):
+    """Regression (r3 ADVICE): size=50 rounds down to 48x48 blocks; the
+    planted-dup noise array must be shaped to the ACTUAL payload dims,
+    not the requested size (used to raise a numpy broadcast error)."""
+    media = M.synth_image_media(spark, 12, size=50, partitions=2)
+    rows = media.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.meta["width"] == 48 and r.meta["height"] == 48
+        img = M.decode_image(bytes(r.payload))
+        assert img.shape == (48, 48, 3)
+
+
 def test_real_audio_codec_and_fingerprint(spark):
     """WAV round-trip (incl. stereo downmix), feature sanity, and
     fingerprint robustness: identical signals hash identically, light
