@@ -3311,3 +3311,32 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o_orderpriority, quartile
     """
     return sql
+
+
+def rows_only_gated() -> dict[str, str]:
+    """Registry hygiene contract (VERDICT r3 #8): every `queries()` key
+    must be value-verified SOMEWHERE -- either a DuckDB oracle in
+    `oracle_sql()` (the driver's hash-exact check) or an exact pytest
+    gate listed here.  `tests/test_plan_invariants.py::
+    test_registry_every_query_is_gated` asserts the partition is exact
+    and that each gate file really references its query, so a new query
+    cannot land without a check in the same commit."""
+    return {
+        # golden-md5 table gates (tests/test_golden_queries.py::GOLDEN)
+        "q30_detect_mentions": "tests/test_golden_queries.py",
+        "q31_triples": "tests/test_golden_queries.py",
+        "q33_link_edges": "tests/test_golden_queries.py",
+        "q34_components": "tests/test_golden_queries.py",
+        "q35_graph_nodes": "tests/test_golden_queries.py",
+        "q36_minhash_dedup": "tests/test_golden_queries.py",
+        "q37_simhash_pairs": "tests/test_golden_queries.py",
+        "q68_kcore": "tests/test_golden_queries.py",
+        "q73_mention_contexts": "tests/test_golden_queries.py",
+        # per-strategy anonymization goldens (3 strategies x 3 docs)
+        "q32_anonymize": "tests/test_golden_anonymize.py",
+        "q32b_anonymize_mask": "tests/test_golden_anonymize.py",
+        "q32c_anonymize_redact": "tests/test_golden_anonymize.py",
+        # pinned exact aggregate / planted-pair-set gates
+        "q40_media_features": "tests/test_training_ops.py",
+        "q101_image_phash_dedup": "tests/test_training_ops.py",
+    }

@@ -181,3 +181,31 @@ def test_q88_containment_no_cross_join(spark, qs):
     plan = plan_of(qs["q88_containment"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_every_query_is_gated():
+    """Registry hygiene CI (VERDICT r3 #8): queries() must partition
+    EXACTLY into oracle-backed (DuckDB value-hash via the driver) and
+    rows-only-with-pytest-gate (rows_only_gated()).  A new query that
+    lands without either check fails here in the same commit; a stale
+    oracle/gate entry for a removed query fails too."""
+    import os
+
+    import __spark_entry__ as entry
+    qs = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    gated = entry.rows_only_gated()
+    assert not (oracles & set(gated)), sorted(oracles & set(gated))
+    uncovered = qs - oracles - set(gated)
+    assert not uncovered, f"queries with no oracle and no gate: " \
+                          f"{sorted(uncovered)}"
+    stale = (oracles | set(gated)) - qs
+    assert not stale, f"oracle/gate entries for removed queries: " \
+                      f"{sorted(stale)}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, gate_file in gated.items():
+        p = os.path.join(repo, gate_file)
+        assert os.path.exists(p), gate_file
+        with open(p) as f:
+            assert name in f.read(), \
+                f"{gate_file} never references {name}"

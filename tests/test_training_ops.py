@@ -947,6 +947,20 @@ def test_image_phash_dedup_pipeline(spark):
                 and p[1] - p[0] != 1}, pairs
 
 
+def test_q101_image_phash_dedup_exact_gate(spark):
+    """Exact gate for the rows-only registry entry
+    q101_image_phash_dedup: at 200 synthetic images the planted
+    near-dups are exactly (i-1, i) for i % 10 == 1, and the banded
+    hamming join must return precisely that pair set (no misses, no
+    accidental cross-pairs)."""
+    import __spark_entry__ as entry
+    rows = entry.queries()["q101_image_phash_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == {(i - 1, i) for i in range(1, 200, 10)}
+    assert all(r.hamming <= 10 for r in rows)
+
+
 def test_synth_image_media_non_multiple_of_8_size(spark):
     """Regression (r3 ADVICE): size=50 rounds down to 48x48 blocks; the
     planted-dup noise array must be shaped to the ACTUAL payload dims,
