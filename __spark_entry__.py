@@ -1539,6 +1539,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 4).alias("wow_pct"))
                 .orderBy("o_orderpriority", "week"))
 
+    def q103_exact_substring_spans(spark, sf):
+        """Exact-substring dedup (Lee et al. 2022), the dedup itself
+        rather than the q69 signal: every 8-token window repeated
+        corpus-wide, overlapping/adjacent hits merged into MAXIMAL
+        repeated spans per doc (keep_first leaves the corpus-wide first
+        occurrence untouched).  Fully native: md5-compressed window
+        keys, per-doc island sweep for the merge (no self-join).  The
+        REMOVAL splice (remove_repeated_spans) is reconstruction-pinned
+        in pytest."""
+        from redactify_spark.operators.dedup import maximal_repeated_spans
+        return (maximal_repeated_spans(_t(spark, sf, "documents"), n=8)
+                .orderBy("doc_id", "span_start"))
+
     reg = {
         "q01_lineitem_agg": q01_lineitem_agg,
         "q02_threshold_filter": q02_threshold_filter,
@@ -1642,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_id_assignment": q100_id_assignment,
         "q101_image_phash_dedup": q101_image_phash_dedup,
         "q102_wow_revenue": q102_wow_revenue,
+        "q103_exact_substring_spans": q103_exact_substring_spans,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3309,6 +3323,58 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
         GROUP BY o_orderpriority, quartile
         ORDER BY o_orderpriority, quartile
+    """
+    # ---- q103: exact-substring maximal repeated spans -----------------------
+    # Mirrors maximal_repeated_spans exactly: raw whitespace tokens
+    # (positions 1-based), per-token in-place normalization (lower +
+    # strip non-alnum, never splits/drops a position), md5 window keys,
+    # total-occurrence min_count, keep-first via row_number over
+    # (doc_id, pos), island merge with +1 adjacency.
+    sql["q103_exact_substring_spans"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END AS t
+            FROM documents),
+        wins AS (
+            SELECT doc_id, CAST(u.i AS INT) AS pos,
+                   md5(array_to_string(
+                       list_transform(t[u.i:u.i+7],
+                           x -> regexp_replace(lower(x),
+                                               '[^a-z0-9]', '', 'g')),
+                       ' ')) AS w
+            FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)),
+        dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+        hits AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY w
+                                      ORDER BY doc_id, pos) AS rn
+            FROM wins WHERE w IN (SELECT w FROM dup)),
+        kept AS (SELECT doc_id, pos FROM hits WHERE rn > 1),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN max(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                          OR pos > max(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS flag
+            FROM kept),
+        grp AS (
+            SELECT doc_id, pos,
+                   sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+            FROM isl)
+        SELECT doc_id,
+               CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + 7 AS INT) AS span_end,
+               CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS n_tokens
+        FROM grp GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
     """
     return sql
 

@@ -34,9 +34,16 @@ def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
                     holdout_pct: int = 10,
                     chunk_tokens: int = 256,
                     chunk_overlap: int = 32,
-                    gopher_kwargs: dict | None = None
+                    gopher_kwargs: dict | None = None,
+                    exact_substring_n: int | None = None
                     ) -> dict[str, DataFrame]:
-    """docs(doc_id, text, ...) -> curated chunk table, checkpointed."""
+    """docs(doc_id, text, ...) -> curated chunk table, checkpointed.
+
+    `exact_substring_n` (e.g. 8) enables the optional exact-substring
+    stage (02b): maximal repeated n-token spans spliced out of every
+    surviving doc, first occurrence kept (Lee et al. 2022 -- document
+    dedup removes repeated DOCUMENTS; this removes repeated SPANS that
+    survive it, the memorization-relevant residue)."""
     from redactify_spark.operators import curation as CU
     from redactify_spark.operators import dedup as D
     from redactify_spark.operators import textstats as X
@@ -46,6 +53,10 @@ def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
     near = run_stage(spark, root, "02_near_dedup",
                      lambda: D.dedup_minhash(exact,
                                              threshold=near_dup_threshold))
+    if exact_substring_n:
+        near = run_stage(
+            spark, root, "02b_exact_substring",
+            lambda: D.remove_repeated_spans(near, n=exact_substring_n))
 
     def _boiler():
         n = near.count()

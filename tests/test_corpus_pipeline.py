@@ -72,3 +72,30 @@ def test_corpus_pipeline_kill_resume(spark, raw_docs, root):
     for stage in ("01_exact_dedup", "02_near_dedup", "03_boilerplate",
                   "04_quality", "05_split", "06_chunks"):
         assert CP.stage_complete(root, stage)
+
+
+def test_corpus_pipeline_exact_substring_stage(spark, raw_docs, root):
+    """Optional stage 02b (exact_substring_n): a shared 12-token span
+    planted across surviving docs is spliced out of every occurrence
+    but the corpus-wide first; disabled runs have no 02b stage dir."""
+    import os
+
+    span = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor")                  # 12 tokens
+    docs = raw_docs.select(
+        "doc_id", "lang", "source",
+        F.concat("text", F.lit(" " + span)).alias("text"))
+    out = corpus_pipeline(
+        spark, docs, root, exact_substring_n=8,
+        gopher_kwargs={"min_words": 20, "max_dup_word_frac": 0.8})
+    assert os.path.isdir(os.path.join(root, "02b_exact_substring"))
+    m = CP.read_manifest(root, "02b_exact_substring")
+    assert m["status"] == "complete" and m["row_count"] > 0
+    spliced = spark.read.parquet(
+        os.path.join(root, "02b_exact_substring", "data"))
+    # every doc but the first occurrence lost >= the 12 planted tokens
+    n_kept_span = spliced.where(
+        F.col("text").contains("eiusmod tempor")).count()
+    assert n_kept_span <= 1
+    assert spliced.where("n_tokens_removed >= 12").count() \
+        >= spliced.count() - 1

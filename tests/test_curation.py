@@ -254,3 +254,72 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         "doc_id long, g string, w double")
     assert [r.doc_id for r in
             weighted_sample_per_group(docs2, "g", 5, "w").collect()] == [2]
+
+
+# -- exact-substring dedup: maximal repeated spans (VERDICT r3 #3) ----------
+
+def test_maximal_spans_merge_hand_fixture(spark):
+    """Two docs sharing an 11-token run: the 4 overlapping 8-gram hits
+    in the second doc must merge into ONE maximal span of exactly 11
+    tokens; the corpus-wide first occurrence (doc 1) is untouched."""
+    from redactify_spark.operators.dedup import maximal_repeated_spans
+    shared = "a b c d e f g h i j k"   # 11 tokens
+    df = spark.createDataFrame(
+        [(1, "start one " + shared + " tail one x y z"),
+         (2, "other prefix " + shared + " different suffix"),
+         (3, "totally unrelated words with no repeats at all here ok")],
+        ["doc_id", "text"])
+    spans = maximal_repeated_spans(df, n=8).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.doc_id, s.span_start, s.span_end, s.n_tokens) == (2, 3, 13, 11)
+
+
+def test_remove_repeated_spans_reconstruction(spark):
+    """Splice invariants: (a) docs with no repeated span round-trip to
+    their whitespace-normalized text byte-exactly; (b) removal deletes
+    exactly the span tokens and keeps everything else in order;
+    (c) keep_first=False removes every occurrence including the first;
+    (d) punctuation/case differences between occurrences still match
+    (in-place normalization) while the SURVIVING text keeps its
+    original bytes."""
+    import re
+
+    from redactify_spark.operators.dedup import remove_repeated_spans
+    shared = "a b c d e f g h i j k"
+    d1 = "start  one " + shared + " tail one x y z"      # double space
+    d2 = "other prefix A, B. C d E f G h I j K?! different suffix"
+    d3 = "totally unrelated words with no repeats at all here ok"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=8).collect()}
+    # (a)+(d) doc 1 is the corpus-wide first occurrence: kept, normalized
+    assert out[1].text == re.sub(r"\s+", " ", d1).strip()
+    assert out[1].n_tokens_removed == 0
+    # (b)+(d) doc 2's punctuated variant matched and was spliced out,
+    # surviving tokens keep original bytes
+    assert out[2].text == "other prefix different suffix"
+    assert out[2].n_tokens_removed == 11
+    assert out[3].text == d3 and out[3].n_tokens_removed == 0
+    # (c) remove every occurrence
+    out_all = {r.doc_id: r for r in
+               remove_repeated_spans(df, n=8, keep_first=False).collect()}
+    assert out_all[1].text == "start one tail one x y z"
+    assert out_all[1].n_tokens_removed == 11
+    assert out_all[2].n_tokens_removed == 11
+
+
+def test_remove_repeated_spans_within_doc_and_empty(spark):
+    """A window repeated twice INSIDE one doc counts (total-occurrence
+    min_count); empty/short docs pass through."""
+    from redactify_spark.operators.dedup import remove_repeated_spans
+    rep = "p q r s t u v w"             # 8 tokens, repeated in doc 1
+    df = spark.createDataFrame(
+        [(1, rep + " middle " + rep + " end"),
+         (2, ""), (3, "short doc")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=8).collect()}
+    # first occurrence kept, second spliced
+    assert out[1].text == rep + " middle end"
+    assert out[1].n_tokens_removed == 8
+    assert out[2].text == "" and out[2].n_tokens_removed == 0
+    assert out[3].text == "short doc" and out[3].n_tokens_removed == 0
