@@ -1539,6 +1539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 4).alias("wow_pct"))
                 .orderBy("o_orderpriority", "week"))
 
+    def q104_langid_ngram(spark, sf):
+        """Char-trigram-profile language ID (Cavnar-Trenkle / langid.py
+        NB variant) over the documents table -- per-doc argmax of
+        integer micro-log scores against 10 vendored language profiles.
+        Fully native: broadcast profile join + one combinable groupBy;
+        the DuckDB oracle REBUILDS the profiles in SQL from the same
+        vendored sample strings, so scores are bit-identical."""
+        from redactify_spark.operators.langid import lang_id_ngram
+        return (lang_id_ngram(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1656,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_image_phash_dedup": q101_image_phash_dedup,
         "q102_wow_revenue": q102_wow_revenue,
         "q103_exact_substring_spans": q103_exact_substring_spans,
+        "q104_langid_ngram": q104_langid_ngram,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3375,6 +3387,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS n_tokens
         FROM grp GROUP BY doc_id, island
         ORDER BY doc_id, span_start
+    """
+    # ---- q104: char-trigram-profile language ID -----------------------------
+    # The oracle REBUILDS the trigram profiles in SQL from the very same
+    # vendored sample strings and accent map as the Spark operator
+    # (interpolated below from redactify_spark.operators.langid), then
+    # scores every document with integer micro-log sums -- bit-identical
+    # to the native path by construction.
+    from redactify_spark.operators.langid import (ACCENTS_FROM, ACCENTS_TO,
+                                                  LANG_SAMPLES, TOP_K)
+    _sample_values = ",\n                ".join(
+        f"('{lang}', '{text}')" for lang, text in sorted(LANG_SAMPLES.items()))
+    _norm = ("trim(regexp_replace(translate(lower({col}), "
+             f"'{ACCENTS_FROM}', '{ACCENTS_TO}'), "
+             "'[^a-z]+', ' ', 'g'))")
+    sql["q104_langid_ngram"] = f"""
+        WITH samples(lang, sample) AS (VALUES
+                {_sample_values}),
+        nrm AS (SELECT lang, {_norm.format(col='sample')} AS s FROM samples),
+        padded AS (SELECT lang, ' ' || s || ' ' AS p FROM nrm),
+        tri AS (SELECT lang, substr(p, CAST(u.i AS INT), 3) AS g
+                FROM padded,
+                     UNNEST(range(1, greatest(len(p) - 1, 1))) AS u(i)),
+        cnt AS (SELECT lang, g, count(*) AS c FROM tri GROUP BY lang, g),
+        topk AS (SELECT lang, g FROM (
+                    SELECT lang, g, row_number() OVER (
+                        PARTITION BY lang ORDER BY c DESC, g ASC) AS rn
+                    FROM cnt) WHERE rn <= {TOP_K}),
+        vocab AS (SELECT DISTINCT g FROM topk),
+        vsize AS (SELECT count(*) AS v FROM vocab),
+        dense AS (
+            SELECT vocab.g, l.lang, coalesce(cnt.c, 0) AS c
+            FROM vocab CROSS JOIN (SELECT DISTINCT lang FROM samples) l
+            LEFT JOIN cnt ON cnt.g = vocab.g AND cnt.lang = l.lang),
+        tot AS (SELECT lang, sum(c) AS t FROM dense GROUP BY lang),
+        prof AS (
+            SELECT d.g, d.lang,
+                   CAST(floor(ln((d.c + 1.0) / (t.t + v.v)) * 1e6 + 0.5)
+                        AS BIGINT) AS lp
+            FROM dense d JOIN tot t ON d.lang = t.lang CROSS JOIN vsize v),
+        dnrm AS (SELECT doc_id, {_norm.format(col='text')} AS s
+                 FROM documents),
+        dpad AS (SELECT doc_id, ' ' || s || ' ' AS p
+                 FROM dnrm WHERE s <> ''),
+        dtri AS (SELECT doc_id, substr(p, CAST(u.i AS INT), 3) AS g
+                 FROM dpad,
+                      UNNEST(range(1, greatest(len(p) - 1, 1))) AS u(i)),
+        scores AS (SELECT doc_id, lang, sum(lp) AS score_micro,
+                          count(*) AS n_ngrams
+                   FROM dtri JOIN prof USING (g)
+                   GROUP BY doc_id, lang),
+        best AS (SELECT doc_id, lang, score_micro, n_ngrams,
+                        row_number() OVER (
+                            PARTITION BY doc_id
+                            ORDER BY score_micro DESC, lang ASC) AS rn
+                 FROM scores)
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und') AS lang_pred,
+               CAST(coalesce(b.score_micro, 0) AS BIGINT) AS score_micro,
+               CAST(coalesce(b.n_ngrams, 0) AS BIGINT) AS n_ngrams
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ORDER BY d.doc_id
     """
     return sql
 
