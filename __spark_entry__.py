@@ -1539,6 +1539,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 4).alias("wow_pct"))
                 .orderBy("o_orderpriority", "week"))
 
+    def q105_bpe_chunks(spark, sf):
+        """Tokenizer-EXACT chunking: documents windowed over the
+        vendored deterministic BPE's subword tokens (functions/bpe.py;
+        Sennrich trainer + GPT-2 min-rank encoder, merges table pinned
+        by md5 in pytest).  Rows-only (a greedy merge loop has no SQL
+        mirror); golden-md5 gated at sf0.001."""
+        from redactify_spark.operators.curation import chunk_documents
+        return (chunk_documents(_t(spark, sf, "documents"),
+                                chunk_tokens=128, overlap=16,
+                                tokenizer="bpe")
+                .orderBy("doc_id", "chunk_idx"))
+
     def q104_langid_ngram(spark, sf):
         """Char-trigram-profile language ID (Cavnar-Trenkle / langid.py
         NB variant) over the documents table -- per-doc argmax of
@@ -1668,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_wow_revenue": q102_wow_revenue,
         "q103_exact_substring_spans": q103_exact_substring_spans,
         "q104_langid_ngram": q104_langid_ngram,
+        "q105_bpe_chunks": q105_bpe_chunks,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3479,4 +3492,6 @@ def rows_only_gated() -> dict[str, str]:
         # pinned exact aggregate / planted-pair-set gates
         "q40_media_features": "tests/test_training_ops.py",
         "q101_image_phash_dedup": "tests/test_training_ops.py",
+        # golden-md5 table gate (tests/test_golden_queries.py)
+        "q105_bpe_chunks": "tests/test_golden_queries.py",
     }

@@ -50,10 +50,17 @@ def corpus_prep(docs: DataFrame, text_col: str = "text",
 def token_budget_pack(docs: DataFrame, budget: int,
                       quality_col: str = "quality_score",
                       token_col: str = "n_tokens",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      tokenizer: str | None = None,
+                      text_col: str = "text") -> DataFrame:
     """Fill a token budget best-quality-first: keep documents in
     (quality desc, id asc) order while the running token total stays
     within `budget`.
+
+    `tokenizer="bpe"` computes `token_col` itself with the vendored
+    deterministic BPE (functions/bpe.py) -- tokenizer-EXACT budgets
+    instead of the regex approximation; default None consumes the
+    caller-provided count column unchanged.
 
     Two-phase global cumsum (no single-partition window):
       1. within-band cumsum: window partitioned by the quality band,
@@ -61,6 +68,12 @@ def token_budget_pack(docs: DataFrame, budget: int,
       2. band prefix: total tokens per band, cumulated over the tiny
          distinct-band table (driver-scale; broadcast back).
     Keep iff prefix + within-band cumsum <= budget."""
+    if tokenizer == "bpe":
+        from redactify_spark.functions.bpe import with_bpe_token_counts
+        docs = with_bpe_token_counts(docs, text_col=text_col,
+                                     out_col=token_col)
+    elif tokenizer is not None:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     w_in = (Window.partitionBy(quality_col).orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     with_cum = docs.withColumn("_cum_in",
@@ -109,7 +122,8 @@ def stratified_sample(docs: DataFrame, strata_col: str,
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     overlap: int = 16, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    tokenizer: str = "ws") -> DataFrame:
     """Split documents into fixed-token-count chunks with overlap (the
     LLM context-window prep step): chunk i covers tokens
     [i*stride, i*stride + chunk_tokens), stride = chunk_tokens - overlap.
@@ -117,9 +131,22 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     with zero tokens emit nothing.  Whitespace inside a chunk is
     normalized to single spaces (the join of the token slice).
 
+    tokenizer="ws" (default) windows over whitespace tokens, fully
+    native; tokenizer="bpe" windows over EXACT subword tokens from the
+    vendored deterministic BPE (functions/bpe.py) -- same schema, chunk
+    boundaries may fall mid-word, '</w>' sentinels keep reconstruction
+    exact.
+
     Fully native (split -> sequence -> explode -> slice): embarrassingly
     parallel, no shuffle at all -- the chunk explosion happens inside the
     scan stage and output size is input size x (1 + overlap/stride)."""
+    if tokenizer == "bpe":
+        from redactify_spark.functions.bpe import bpe_chunk_documents
+        return bpe_chunk_documents(docs, chunk_tokens=chunk_tokens,
+                                   overlap=overlap, text_col=text_col,
+                                   id_col=id_col)
+    if tokenizer != "ws":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap

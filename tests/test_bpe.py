@@ -1,0 +1,142 @@
+"""Vendored deterministic BPE: frozen-vocabulary pin, encoder parity
+against the naive Sennrich apply-in-training-order reference, exact
+reconstruction, and the Spark kernels."""
+
+import pytest
+
+from redactify_spark.functions import bpe
+
+# The frozen-vocabulary contract: regenerating the merges table from the
+# vendored seed corpus must yield EXACTLY this table (hash pinned after
+# verifying samples by hand).  If the trainer or seed changes, token
+# budgets and chunk boundaries change -- bump deliberately.
+PINNED_MERGES_MD5 = "c135328217a93d4a0d79d1df8dfd2d57"
+
+# Pinned reference tokenizations (hand-verified against the merge table:
+# e.g. 'The</w>' survives intact because 'the'-casing merges formed on
+# the lowercase side; digits never merged past pairs in the seed).
+PINNED = {
+    "The training pipeline reads documents.":
+        ["The</w>", "tr", "ain", "ing</w>", "pipeline</w>", "re", "a",
+         "ds</w>", "documents</w>", ".</w>"],
+    "unbelievable tokenization quality 12345":
+        ["u", "n", "be", "li", "e", "v", "ab", "l", "e</w>", "token",
+         "iz", "a", "ti", "on</w>", "qu", "al", "it", "y</w>", "1", "2",
+         "3", "4", "5</w>"],
+    "hello, world! x==42;":
+        ["h", "e", "l", "lo", "</w>", ",</w>", "wor", "ld</w>", "!",
+         "</w>", "x", "</w>", "=", "</w>", "=", "</w>", "4", "2</w>",
+         ";", "</w>"],
+}
+
+
+def test_merges_table_pinned():
+    assert bpe.merges_md5() == PINNED_MERGES_MD5
+    m = bpe.merges_table()
+    assert len(m) >= 150 and len(set(m)) == len(m)
+
+
+def test_pinned_reference_tokenizations():
+    for text, want in PINNED.items():
+        assert bpe.bpe_tokens(text) == want, text
+
+
+def _naive_encode(word):
+    """Reference encoder: apply merges strictly in TRAINING order
+    (Sennrich's apply_bpe) -- provably equivalent to the GPT-2
+    lowest-rank-first loop; any divergence is an encoder bug."""
+    sym = list(word) + ["</w>"]
+    for a, b in bpe.merges_table():
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)
+
+
+def test_encoder_matches_naive_reference():
+    words = set()
+    for text in list(PINNED) + [bpe.SEED_CORPUS[:2000]]:
+        words.update(bpe._pretokens(text))
+    assert len(words) > 50
+    for w in sorted(words):
+        assert bpe.encode_word(w) == _naive_encode(w), w
+
+
+def test_roundtrip_reconstruction():
+    for text in PINNED:
+        toks = bpe.bpe_tokens(text)
+        # decode == whitespace-normalized pre-token stream
+        assert bpe.bpe_decode(toks) == " ".join(bpe._pretokens(text))
+    assert bpe.bpe_tokens("") == []
+    assert bpe.bpe_decode([]) == ""
+
+
+def test_spark_count_kernel_matches_driver(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {r.doc_id: r.n_tokens_bpe
+           for r in bpe.with_bpe_token_counts(docs).collect()}
+    want = {r.doc_id: len(bpe.bpe_tokens(r.text or ""))
+            for r in docs.collect()}
+    assert got == want
+
+
+def test_bpe_chunker_invariants(spark):
+    texts = [(1, "The training pipeline reads documents and writes "
+                 "the result back to storage after testing."),
+             (2, "tiny"), (3, "")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = bpe.bpe_chunk_documents(df, chunk_tokens=8, overlap=0)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r.n_chunk_tokens <= 8
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc emits nothing
+    for did, text in texts[:2]:
+        toks = bpe.bpe_tokens(text)
+        chunks = by_doc[did]
+        # chunk_idx dense from 0; token counts partition the stream
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert sum(c.n_chunk_tokens for c in chunks) == len(toks)
+        # overlap=0: every chunk's text is the decode of its exact token
+        # slice ('</w>' sentinels keep mid-word splits unspaced)
+        for c in chunks:
+            sl = toks[c.chunk_idx * 8: c.chunk_idx * 8 + 8]
+            assert c.chunk_text == bpe.bpe_decode(sl)
+
+
+def test_bpe_chunker_overlap_and_midword(spark):
+    """With overlap, consecutive chunks share exactly `overlap` tokens,
+    and a boundary inside a word keeps its subwords unspaced."""
+    text = ("internationalization considerations demand careful "
+            "tokenization of extraordinarily long compound words")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    toks = bpe.bpe_tokens(text)
+    rows = sorted(bpe.bpe_chunk_documents(
+        df, chunk_tokens=6, overlap=2).collect(),
+        key=lambda r: r.chunk_idx)
+    stride = 4
+    for r in rows:
+        sl = toks[r.chunk_idx * stride: r.chunk_idx * stride + 6]
+        assert r.n_chunk_tokens == len(sl)
+        assert r.chunk_text == bpe.bpe_decode(sl)
+
+
+def test_budget_pack_bpe_tokenizer_flag(spark):
+    from redactify_spark.operators.curation import token_budget_pack
+    text = "a document with some text to count for the budget"
+    rows = [(i, text, 0.5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "quality_score"])
+    per_doc = len(bpe.bpe_tokens(text))
+    # identical texts -> identical exact counts; budget for exactly 5
+    out = token_budget_pack(df, budget=5 * per_doc, tokenizer="bpe")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        token_budget_pack(df, budget=10, tokenizer="nope")

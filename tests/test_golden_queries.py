@@ -27,6 +27,7 @@ GOLDEN = {
     "q37_simhash_pairs": ("6a9baae649b9200db6a6ff724f33eebe", 488),
     "q68_kcore": ("4c0f46dff50aa24fcf720a1b00a843ca", 193),
     "q73_mention_contexts": ("514456e4f89696ee3c4fa6d8bfa7d3a8", 2176),
+    "q105_bpe_chunks": ("dd6aec3cac58098a5f4f90c8c39e1845", 1011),
 }
 
 
