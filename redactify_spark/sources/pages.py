@@ -134,13 +134,16 @@ PAGES_SCHEMA = T.StructType([
 
 
 def synth_pages(spark: SparkSession, n_docs: int,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None,
+                start: int = 0) -> DataFrame:
     """Materialize the synthetic pages table as a DataFrame.
 
     Built with spark.range -> mapInPandas so generation is distributed
     (each partition synthesizes its own id range; no driver-side loop,
-    scales to any n_docs)."""
-    rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    scales to any n_docs).  `start` offsets the id range -- disjoint
+    tranches for incremental/streaming tests."""
+    rng = spark.range(start, start + n_docs, 1,
+                      partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

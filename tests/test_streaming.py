@@ -2,6 +2,7 @@
 sink) -- beyond-reference addition; batch/stream parity asserted."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from redactify_spark.operators.detection import detect_mentions
 from redactify_spark.sources.pages import synth_pages
@@ -326,3 +327,100 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
     got = {(r.user_id, r.click_id, r.purchase_id, r.delay_us)
            for r in spark.sql("select * from conv_pairs").collect()}
     assert got == want
+
+
+def test_stream_triples_bucketed_sink_exactly_once(spark, tmp_path):
+    """Production-sink unification (r3 #7): streaming triples land in a
+    batch_id-partitioned, subj-bucketed managed table.  Pins:
+    (a) stream output == batch pipeline output;
+    (b) restart with NO new files re-appends nothing;
+    (c) CRASH REPLAY: deleting the last streaming commit marker makes
+        Spark re-run that batch with the same batch_id -- the dynamic
+        partition overwrite leaves the table byte-identical
+        (exactly-once, not at-least-once);
+    (d) a new tranche after restart lands as a new batch partition only;
+    (e) a self-join on the bucket key plans SortMergeJoin with zero
+        Exchange (the warehouse read is shuffle-free)."""
+    import os
+    import shutil
+
+    from redactify_spark.operators.triples import all_triples
+    from redactify_spark.streaming import bucket_sink as BS
+
+    table = "stream_triples_bucketed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    synth_pages(spark, 40, partitions=2).write.mode("overwrite").parquet(src)
+
+    def table_rows():
+        # a replayed batch rewrites its partition with fresh file names;
+        # drop this session's cached file listing before reading
+        spark.catalog.refreshTable(table)
+        return sorted(tuple(str(v) for v in r)
+                      for r in spark.table(table).collect())
+
+    q = BS.stream_triples_bucketed(spark, src, table, ckpt)
+    assert q.awaitTermination(300)
+    q.stop()
+    got = {(r.subj, r.pred, r.obj, r.prov_doc)
+           for r in spark.table(table).collect()}
+    batch = all_triples(
+        detect_mentions(spark.read.parquet(src),
+                        id_col="url", text_col="text"), id_col="url")
+    want = {tuple(r) for r in
+            batch.select("subj", "pred", "obj", "prov_doc").collect()}
+    assert got == want and got
+
+    # (b) restart, no new files
+    before = table_rows()
+    q2 = BS.stream_triples_bucketed(spark, src, table, ckpt)
+    assert q2.awaitTermination(300)
+    q2.stop()
+    assert table_rows() == before
+
+    # (c) crash replay: drop the newest commit marker; the restarted
+    # stream re-runs that batch with the SAME batch_id
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    # the local ChecksumFileSystem keeps a sibling .crc; a stale one
+    # makes the rewrite look like a concurrent-query conflict
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q3 = BS.stream_triples_bucketed(spark, src, table, ckpt)
+    assert q3.awaitTermination(300)
+    q3.stop()
+    assert table_rows() == before
+
+    # (d) new tranche -> only new pages' triples appear, in a NEW batch
+    batches_before = {r.batch_id for r in
+                      spark.table(table).select("batch_id")
+                      .distinct().collect()}
+    synth_pages(spark, 12, partitions=1, start=1_000_000) \
+        .write.mode("append").parquet(src)
+    q4 = BS.stream_triples_bucketed(spark, src, table, ckpt)
+    assert q4.awaitTermination(300)
+    q4.stop()
+    rows_after = table_rows()
+    assert len(rows_after) > len(before)
+    new_batches = {r.batch_id for r in
+                   spark.table(table).select("batch_id")
+                   .distinct().collect()} - batches_before
+    assert new_batches
+    # pre-existing partitions untouched
+    n_old = spark.table(table).where(
+        ~F.col("batch_id").isin(*[int(b) for b in new_batches])).count()
+    assert n_old == len(before)
+
+    # (e) Exchange-free self-join on the bucket key
+    a = spark.table(table).hint("merge")
+    b = spark.table(table).hint("merge")
+    plan = a.join(b, "subj")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "Exchange" not in plan
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
