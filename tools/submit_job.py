@@ -21,6 +21,69 @@ import json
 import sys
 
 
+def run_model_warmup(spark, n_probes: int, env_subdir: str) -> list[dict]:
+    """Per-executor model warmup (VERDICT r3 #6): each python worker
+    resolves the --archives env via SparkFiles, puts it on sys.path,
+    imports transformers, and runs the kernel's lazy per-worker loader
+    exactly once -- the timing hook a real weights rollout needs (cold
+    load_sec per worker, then ~0 on the cached second call).  Returns
+    one row per probe; distinct pids show how many workers warmed."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("pid", T.LongType()),
+        T.StructField("archive_found", T.BooleanType()),
+        T.StructField("transformers_version", T.StringType()),
+        T.StructField("backend_loaded", T.BooleanType()),
+        T.StructField("load_sec", T.DoubleType()),
+        T.StructField("cached_second_call_sec", T.DoubleType()),
+    ])
+
+    def warm(batches):
+        import os
+        import socket
+        import sys
+        import time
+
+        import pandas as pd
+        from pyspark import SparkFiles
+
+        root = os.path.join(SparkFiles.getRootDirectory(), env_subdir)
+        found = os.path.isdir(root)
+        if found and root not in sys.path:
+            sys.path.insert(0, root)
+        t0 = time.time()
+        try:
+            import transformers
+            ver = getattr(transformers, "__version__", "?")
+            from redactify_spark.detect import kernel
+            ok = bool(kernel.try_load_hf_backend())
+            sec = time.time() - t0
+            t1 = time.time()
+            kernel.try_load_hf_backend()  # warm path: archive
+            # resolved + modules imported; weights page-cached
+            sec2 = time.time() - t1
+        except ImportError:
+            ver, ok = None, False
+            sec, sec2 = time.time() - t0, 0.0
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame({
+                "host": [socket.gethostname()] * n,
+                "pid": [os.getpid()] * n,
+                "archive_found": [found] * n,
+                "transformers_version": [ver] * n,
+                "backend_loaded": [ok] * n,
+                "load_sec": [round(sec, 4)] * n,
+                "cached_second_call_sec": [round(sec2, 4)] * n,
+            })
+
+    rows = (spark.range(n_probes).repartition(n_probes)
+            .mapInPandas(warm, schema=schema).collect())
+    return [r.asDict() for r in rows]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages table path (url,warc_ts,html,text,lang)")
@@ -43,6 +106,17 @@ def main(argv=None):
                          "scan.  (With an Iceberg runtime this is "
                          "writeTo(...).partitionedBy(bucket(n, col)); see "
                          "sources/io.write_table.)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="N per-worker model-warmup probes before the "
+                         "pipeline: each python worker resolves the "
+                         "--archives model env (SparkFiles), imports "
+                         "transformers, runs the kernel's lazy loader "
+                         "ONCE, and reports (host, pid, load_sec) -- "
+                         "the weights-distribution dry run (see "
+                         "tools/make_env_archive.py + OPERATIONS.md)")
+    ap.add_argument("--env-subdir", default="environment",
+                    help="the #alias the archive was attached under "
+                         "(--archives env.tar.gz#environment)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +138,11 @@ def main(argv=None):
                            f"create=true")
                    .enableHiveSupport())
     spark = builder.getOrCreate()
+
+    warmup_rows = []
+    if args.warmup:
+        warmup_rows = run_model_warmup(spark, args.warmup,
+                                       args.env_subdir)
 
     from redactify_spark.plans.checkpoint import kg_pipeline
     from redactify_spark.sources.pages import extract_text_column, synth_pages
@@ -101,6 +180,8 @@ def main(argv=None):
         write_table(out["triples"], args.output + "/triples_by_pred",
                     partition_col="pred")
         summary["bucketed_tables"] = ["kg_nodes", "kg_salience"]
+    if warmup_rows:
+        summary["warmup"] = warmup_rows
     print(json.dumps(summary))
     spark.stop()
     return 0
