@@ -40,8 +40,20 @@ def build_nodes(mentions: DataFrame, canon: DataFrame,
       window over the per-surface counts (cardinality = distinct
       surfaces, already collapsed), so the collected array is bounded at
       K elements and deterministic."""
-    m = mentions.join(canon, "pseudo_key")
+    return build_nodes_from_canon(mentions.join(canon, "pseudo_key"),
+                                  id_col=id_col,
+                                  top_k_surfaces=top_k_surfaces)
 
+
+def build_nodes_from_canon(m: DataFrame, id_col: str = "doc_id",
+                           top_k_surfaces: int = TOP_K_SURFACES
+                           ) -> DataFrame:
+    """build_nodes over PRE-canonicalized mentions (canon_id already
+    joined on).  kg_pipeline materializes mentions x canon ONCE (stage
+    04b) and feeds both this and build_edges_from_canon -- the
+    mentions-sized pseudo_key shuffle join is paid once instead of
+    three times (measured: 05_nodes+06_edges were the worst-scaling
+    stages at 10^6 docs before the shared stage)."""
     n_docs = (m.select("canon_id", "entity_group",
                        F.col(id_col).cast("string").alias("_doc"))
               .distinct()
@@ -70,20 +82,32 @@ def build_edges(mentions: DataFrame, canon: DataFrame,
                 id_col: str = "doc_id") -> DataFrame:
     """Canonicalized co-mention edges: (canon entity) -[has_contact]->
     (canon contact) weighted by distinct supporting documents."""
-    from redactify_spark.operators.triples import contact_triples
-    ct = contact_triples(mentions, id_col)
-    canon_src = canon.withColumnRenamed("pseudo_key", "subj") \
-                     .withColumnRenamed("canon_id", "src")
-    canon_dst = canon.withColumnRenamed("pseudo_key", "obj") \
-                     .withColumnRenamed("canon_id", "dst")
-    # head-entity skew: countDistinct(prov_doc) grouped by (src,pred,dst)
-    # would funnel a head entity's 10^11 provenance rows into one reducer.
-    # Instead: distinct over the WIDER uniform key (the doc ref spreads
-    # the shuffle evenly), then a count whose partial aggregation is
-    # map-side combinable -- the hot key's final reducer only merges
-    # per-partition counts.
-    return (ct.join(canon_src, "subj").join(canon_dst, "obj")
-            .select("src", "pred", "dst", "prov_doc").distinct()
+    return build_edges_from_canon(mentions.join(canon, "pseudo_key"),
+                                  id_col=id_col)
+
+
+def build_edges_from_canon(m: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """build_edges over PRE-canonicalized mentions: the per-doc
+    co-mention join runs directly on canon ids (no pseudo_key->canon
+    lookup joins at all).  Head-entity skew: countDistinct(prov_doc)
+    grouped by (src,pred,dst) would funnel a head entity's 10^11
+    provenance rows into one reducer.  Instead: distinct over the WIDER
+    uniform key (the doc ref spreads the shuffle evenly), then a count
+    whose partial aggregation is map-side combinable -- the hot key's
+    final reducer only merges per-partition counts."""
+    from redactify_spark.operators.triples import (CONTACT_TYPES,
+                                                   ENTITY_TYPES_FOR_CONTACT)
+    ents = (m.where(F.col("entity_group").isin(*ENTITY_TYPES_FOR_CONTACT))
+            .select(F.col(id_col).alias("_doc"),
+                    F.col("canon_id").alias("src")))
+    contacts = (m.where(F.col("entity_group").isin(*CONTACT_TYPES))
+                .select(F.col(id_col).alias("_doc"),
+                        F.col("canon_id").alias("dst")))
+    return (ents.join(contacts, "_doc")
+            .select("src", F.lit("has_contact").alias("pred"), "dst",
+                    F.col("_doc").cast("string").alias("prov_doc"))
+            .distinct()
             .groupBy("src", "pred", "dst")
             .agg(F.count("*").alias("weight")))
 

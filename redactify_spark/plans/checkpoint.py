@@ -183,7 +183,8 @@ def kg_pipeline(spark: SparkSession, pages: DataFrame, root: str,
     tests/test_checkpoint.py)."""
     from redactify_spark.operators.components import canonical_map
     from redactify_spark.operators.detection import detect_mentions
-    from redactify_spark.operators.graph import build_edges, build_nodes
+    from redactify_spark.operators.graph import (build_edges_from_canon,
+                                                 build_nodes_from_canon)
     from redactify_spark.operators.linking import match_edges
     from redactify_spark.operators.triples import all_triples
 
@@ -196,10 +197,17 @@ def kg_pipeline(spark: SparkSession, pages: DataFrame, root: str,
                        lambda: match_edges(mentions))
     canon = run_stage(spark, root, "04_canonical",
                       lambda: canonical_map(mentions, medges))
+    # canonicalized mentions materialized ONCE: nodes and edges both
+    # consume it, so the mentions-sized pseudo_key shuffle join is paid
+    # here instead of inside each downstream stage (3x at 10^6 docs)
+    cmention = run_stage(spark, root, "04b_canon_mentions",
+                         lambda: mentions.join(canon, "pseudo_key"))
     nodes = run_stage(spark, root, "05_nodes",
-                      lambda: build_nodes(mentions, canon, id_col=id_col))
+                      lambda: build_nodes_from_canon(cmention,
+                                                     id_col=id_col))
     edges = run_stage(spark, root, "06_edges",
-                      lambda: build_edges(mentions, canon, id_col=id_col))
+                      lambda: build_edges_from_canon(cmention,
+                                                     id_col=id_col))
     salience = run_stage(spark, root, "07_salience",
                          lambda: _entity_salience(nodes, edges))
     return {"mentions": mentions, "triples": triples,

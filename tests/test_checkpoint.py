@@ -69,8 +69,8 @@ def test_kill_resume_equivalence(spark, root):
     salience_before = table_set(full["salience"])
 
     # crash after 02_triples: drop downstream checkpoints
-    for stage in ("03_match_edges", "04_canonical", "05_nodes", "06_edges",
-                  "07_salience"):
+    for stage in ("03_match_edges", "04_canonical", "04b_canon_mentions",
+                  "05_nodes", "06_edges", "07_salience"):
         CP.invalidate(root, stage)
 
     resumed = CP.kg_pipeline(spark, pages, root, id_col="url")
@@ -81,7 +81,8 @@ def test_kill_resume_equivalence(spark, root):
 
     # manifests intact for all stages
     for stage in ("01_mentions", "02_triples", "03_match_edges",
-                  "04_canonical", "05_nodes", "06_edges", "07_salience"):
+                  "04_canonical", "04b_canon_mentions", "05_nodes",
+                  "06_edges", "07_salience"):
         assert CP.stage_complete(root, stage)
 
     # salience semantics: co-mentioned entities rise above the PageRank
@@ -107,7 +108,8 @@ def test_pipeline_report_covers_all_stages(spark, root):
     rep = CP.pipeline_report(spark, root)
     stages = {r.stage for r in rep.collect()}
     assert {"01_mentions", "02_triples", "03_match_edges", "04_canonical",
-            "05_nodes", "06_edges", "07_salience"} <= stages
+            "04b_canon_mentions", "05_nodes", "06_edges",
+            "07_salience"} <= stages
     rows = rep.collect()
     assert all(r.row_count >= 0 and r.wall_time_sec > 0
                and r.n_partitions >= 1 for r in rows)
