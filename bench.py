@@ -9,7 +9,15 @@ Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_DOC_MULT       pages per document row (default 8; detection is the
-                       dominant cost, so volume scales the headline metric)
+                       dominant cost, so volume scales the headline metric;
+                       200 at sf0.1 = the 10^6-page scaling runs)
+  BENCH_TRIALS         kg-job trials, best-of (default 3)
+  BENCH_DAG_TRIALS     full-DAG trials, best-of (default 2; 1 for 10^6 runs)
+  BENCH_QUERY_TRIALS   per-query runs; run 1 is the cold warm-up, 'queries'
+                       reports best-of-warm, 'query_spread' the full spread
+  BENCH_CORPUS_DAG / BENCH_ANALYTICS_DAG   set 0 to skip those DAGs
+                       (analytics reads the fixed events table -- it does
+                       not scale with BENCH_DOC_MULT)
 
 Scaling evidence (BASELINE.md: throughput efficiency >= 0.8 from N to 4N):
   python bench.py --scaling      runs the SAME detection+triples job at
