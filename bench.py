@@ -217,26 +217,94 @@ def run_full_dag(spark, sf_dir: str, mult: int, root: str,
             "stage_sec": stage_walls}
 
 
-def run_corpus_dag(spark, sf_dir: str, mult: int, root: str) -> dict:
+# vocabulary for the unique-text corpus tail: common English words
+# (stopword-dense so the quality gate passes); word ORDER is hashed per
+# (doc, position), so replicas share unigrams but almost no 3-shingles
+# -- they survive both exact and MinHash dedup by construction.
+_SOUP_WORDS = (
+    "the of and to in that it with for was on as at by from this be or "
+    "an are not but had his her they we you all one their there when "
+    "which will would what were been more can who its into than then "
+    "some could them these other about out many time has look two how "
+    "way see number people over did down only most after where before "
+    "between under never always story market station train world summer "
+    "friends family during long good best young seen lives happened "
+    "everyone building process system record window result worker").split()
+
+
+def _unique_corpus(spark, sf_dir: str, mult: int):
+    """mult UNIQUE-text pseudo-recrawls per document: original text plus
+    a per-replica hashed word-soup tail of comparable length.  Survives
+    exact dedup (distinct bytes) AND near-dedup (Jaccard vs siblings
+    ~1/3 < 0.7), so every later corpus stage carries the full volume --
+    the recrawl-copies corpus measures the dedup stages; this one
+    measures everything after them."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism * 2
+    exp = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")) \
+        .repartition(par)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType())])
+    nw = len(_SOUP_WORDS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = (pdf["doc_id"].astype("int64") * mult
+                   + pdf["rep"].astype("int64"))
+            texts = []
+            for rid, t in zip(ids, pdf["text"]):
+                t = t or ""
+                n = max(30, len(t.split()))
+                grid = np.int64(rid) * np.int64(131071) + np.arange(n)
+                idx = ((_mix64(grid) + 0.5) * nw).astype(np.int64) % nw
+                texts.append(t + " " + " ".join(_SOUP_WORDS[i]
+                                                for i in idx))
+            yield pd.DataFrame({"doc_id": ids, "lang": pdf["lang"],
+                                "source": pdf["source"], "text": texts})
+
+    return exp.mapInPandas(gen, schema=schema)
+
+
+def run_corpus_dag(spark, sf_dir: str, mult: int, root: str,
+                   unique: bool = False) -> dict:
     """End-to-end checkpointed TRAINING-CORPUS pipeline (the second
     flagship DAG): exact dedup -> minhash near-dedup -> boilerplate
-    removal -> quality gate -> split -> chunking.  Input is the
+    removal -> quality gate -> split -> chunking.  Default input is the
     documents table replicated `mult`x with fresh ids (pure recrawl
     copies -- stage 1's job is to delete them, which is exactly what a
-    dedup bench should measure)."""
+    dedup bench should measure); `unique=True` swaps in the
+    all-distinct corpus from _unique_corpus so EVERY stage carries the
+    volume (the corpus-scaling measurement)."""
     from pyspark.sql import functions as F
 
     from redactify_spark.plans import checkpoint as CP
     from redactify_spark.plans.corpus import corpus_pipeline
 
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # collision-free replica ids at ANY base size: doc_id*mult + i (the
-    # same scheme as _pages), so keep-min-id dedup always prefers copy 0
-    copies = [base.select((F.col("doc_id") * mult + i).alias("doc_id"),
-                          "lang", "source", "text") for i in range(mult)]
-    docs = copies[0]
-    for c in copies[1:]:
-        docs = docs.unionByName(c)
+    if unique:
+        docs = _unique_corpus(spark, sf_dir, mult)
+    else:
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # collision-free replica ids at ANY base size: doc_id*mult + i
+        # (the same scheme as _pages), so keep-min-id dedup always
+        # prefers copy 0
+        copies = [base.select((F.col("doc_id") * mult + i).alias("doc_id"),
+                              "lang", "source", "text")
+                  for i in range(mult)]
+        docs = copies[0]
+        for c in copies[1:]:
+            docs = docs.unionByName(c)
     docs = CP.run_stage(spark, root, "00_docs", lambda: docs)
     n_in = docs.count()
     t0 = time.time()
@@ -585,6 +653,35 @@ def main():
             "value": min(r["lsh_recall@10"], r["ivf_recall@10"],
                          r["quantized_recall@10"]),
             "unit": "ratio", "sf": n, "queries": {}, "detail": r}))
+        return
+
+    if "--corpus-scaling" in sys.argv:
+        # Corpus-DAG scaling on the ALL-DISTINCT corpus (every stage
+        # carries the volume; the default recrawl corpus deletes 99.6%
+        # in stage 1 and leaves second-long fixed-overhead walls that
+        # measure nothing).  Same uncontended-levels rationale as
+        # --scaling.
+        from redactify_spark.plans.session import build_session
+        lo = int(os.environ.get("SCALING_LO", "2"))
+        hi = int(os.environ.get("SCALING_HI", "8"))
+        out = {}
+        for cpus in (lo, hi):
+            spark = build_session(f"bench-corpus-{cpus}",
+                                  master=f"local[{cpus}]",
+                                  shuffle_partitions=cpus)
+            root = tempfile.mkdtemp(prefix=f"corpus_scale_{cpus}_")
+            try:
+                out[cpus] = run_corpus_dag(spark, SF_DIR, DOC_MULT, root,
+                                           unique=True)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                spark.stop()
+        eff = out[hi]["docs_per_sec"] / ((hi / lo) * out[lo]["docs_per_sec"])
+        print(json.dumps({
+            "metric": f"corpus_scaling_efficiency_{lo}_to_{hi}",
+            "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
+            "queries": {},
+            "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}}))
         return
 
     if "--scaling" in sys.argv:
