@@ -310,7 +310,10 @@ def run_corpus_dag(spark, sf_dir: str, mult: int, root: str,
     t0 = time.time()
     corpus_pipeline(spark, docs, root,
                     gopher_kwargs={"min_words": 20,
-                                   "max_dup_word_frac": 0.8})
+                                   "max_dup_word_frac": 0.8},
+                    # the all-distinct corpus is the at-scale run: use
+                    # the zero-Python LSH engine (production path)
+                    near_dup_engine="native" if unique else "python")
     n_chunks = CP.read_manifest(root, "06_chunks")["row_count"]
     n_kept = CP.read_manifest(root, "04_quality")["row_count"]
     elapsed = time.time() - t0

@@ -141,11 +141,22 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def dedup_minhash(docs: DataFrame, text_col: str = "text",
-                  threshold: float = 0.7) -> DataFrame:
+                  threshold: float = 0.7,
+                  engine: str = "python") -> DataFrame:
     """Cluster near-dups (connected components over dup pairs) and keep the
-    min-doc_id representative per cluster."""
+    min-doc_id representative per cluster.
+
+    engine="python" (default, reference-parity kernel) or "native"
+    (minhash_native_pairs: zero-Python banded LSH + exact gram-set
+    Jaccard verify -- the production path at corpus scale, ~10x the
+    kernel's throughput since shingling stays in whole-stage codegen)."""
     from redactify_spark.operators.components import connected_components
-    pairs = minhash_dup_pairs(docs, text_col, threshold)
+    if engine == "native":
+        pairs = minhash_native_pairs(docs, text_col, threshold)
+    elif engine == "python":
+        pairs = minhash_dup_pairs(docs, text_col, threshold)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     comp = connected_components(
         pairs.select(F.col("id_a").cast("string").alias("key_a"),
                      F.col("id_b").cast("string").alias("key_b")))

@@ -35,7 +35,8 @@ def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
                     chunk_tokens: int = 256,
                     chunk_overlap: int = 32,
                     gopher_kwargs: dict | None = None,
-                    exact_substring_n: int | None = None
+                    exact_substring_n: int | None = None,
+                    near_dup_engine: str = "python"
                     ) -> dict[str, DataFrame]:
     """docs(doc_id, text, ...) -> curated chunk table, checkpointed.
 
@@ -52,7 +53,8 @@ def corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
                       lambda: D.dedup_exact(docs))
     near = run_stage(spark, root, "02_near_dedup",
                      lambda: D.dedup_minhash(exact,
-                                             threshold=near_dup_threshold))
+                                             threshold=near_dup_threshold,
+                                             engine=near_dup_engine))
     if exact_substring_n:
         near = run_stage(
             spark, root, "02b_exact_substring",
