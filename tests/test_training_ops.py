@@ -1027,3 +1027,27 @@ def test_audio_features_pipeline(spark):
     planted = {(i - 1, i) for i in range(1, 40, 10)}
     assert planted <= set(pairs), (sorted(pairs), sorted(planted))
     assert not {p for p in pairs if p not in planted}, pairs
+
+
+def test_dedup_minhash_native_engine(spark):
+    """engine='native' must remove planted near-dup copies and keep the
+    min-id representative, same contract as the Python kernel engine;
+    unknown engines fail loudly."""
+    from redactify_spark.operators.dedup import dedup_minhash
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [(1, base), (2, base + " extra"),          # near-dups of 1
+            (3, "completely different text about spark shuffles and "
+                "partitions with nothing shared at all here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_native = {r.doc_id for r in
+                   dedup_minhash(df, threshold=0.7,
+                                 engine="native").collect()}
+    assert kept_native == {1, 3}
+    kept_py = {r.doc_id for r in
+               dedup_minhash(df, threshold=0.7,
+                             engine="python").collect()}
+    assert kept_py == {1, 3}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dedup_minhash(df, engine="nope")
