@@ -335,15 +335,22 @@ _MH_B = [int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16)
          % MINHASH_P for i in range(MINHASH_NATIVE_HASHES)]
 
 
-def _native_word_gram_hashes(text_col, k: int = 3):
-    """Distinct word-k-shingle hashes as int64 < 2^31-1, entirely native.
+def _native_word_gram_hashes(tokens_col, k: int = 3):
+    """Distinct word-k-shingle hashes (from a TOKEN-ARRAY column) as
+    int64 < 2^31-1, entirely native.
 
     Gram hash = first 15 md5 hex chars mod (2^31-1): md5 is the one hash
     both Spark and DuckDB evaluate identically, and reducing mod the
     Mersenne prime keeps the downstream (a*g + b) % p arithmetic inside
     int64 on both engines.  Documents with < k words contribute the single
-    joined-token gram (matching _word_shingles / the q44 oracle)."""
-    toks = _native_tokens(text_col)
+    joined-token gram (matching _word_shingles / the q44 oracle).
+
+    PERF: the column MUST hold already-materialized tokens (see
+    _stored_tokens).  Handing a raw tokenizer expression makes Catalyst
+    inline it into EVERY per-position slice -- an O(words^2)
+    re-tokenization measured at 10x the entire signature pass
+    (59 s -> 6 s on 50k docs)."""
+    toks = tokens_col
     gstr = F.when(
         F.size(toks) < k, F.array(F.array_join(toks, " "))
     ).otherwise(F.array_distinct(F.transform(
@@ -353,6 +360,19 @@ def _native_word_gram_hashes(text_col, k: int = 3):
         gstr, lambda s: F.pmod(
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             F.lit(MINHASH_P))))
+
+
+def _stored_tokens(docs: DataFrame, text_col: str, keep: list[str],
+                   tokens=None):
+    """`keep` columns + `_toks` (normalized word tokens by default),
+    materialized behind a lazy localCheckpoint barrier so downstream
+    per-position gram slices read the STORED array instead of
+    re-running the tokenizer once per position (the CollapseProject
+    inlining trap -- the barrier is the documented counter-measure,
+    GC-scoped like every other lazy checkpoint here)."""
+    toks = tokens if tokens is not None else _native_tokens(F.col(text_col))
+    return docs.select(*keep, toks.alias("_toks")) \
+               .localCheckpoint(eager=False)
 
 
 def doc_minhash_native(docs: DataFrame, text_col: str = "text",
@@ -381,9 +401,10 @@ def doc_minhash_native(docs: DataFrame, text_col: str = "text",
     n_parts = spark.sparkContext.defaultParallelism
     a_lit = F.array(*[F.lit(a) for a in _MH_A[:n_hashes]])
     b_lit = F.array(*[F.lit(b) for b in _MH_B[:n_hashes]])
-    gh = (docs.repartition(n_parts, "doc_id")
-          .select("doc_id",
-                  _native_word_gram_hashes(F.col(text_col), k).alias("gh")))
+    stored = _stored_tokens(docs.repartition(n_parts, "doc_id"),
+                            text_col, keep=["doc_id"])
+    gh = stored.select(
+        "doc_id", _native_word_gram_hashes(F.col("_toks"), k).alias("gh"))
     if persist:
         # lazy localCheckpoint barrier, GC-scoped (see doc_simhash_native)
         gh = gh.localCheckpoint(eager=False)
@@ -504,7 +525,8 @@ def _word_gram_frame(docs: DataFrame, text_col: str, k: int,
     sized = docs.withColumn(
         "_block_n", F.count("*").over(Window.partitionBy(block_col)))
     docs = sized.where(F.col("_block_n") <= max_block).drop("_block_n")
-    toks = _native_tokens(F.col(text_col))
+    stored = _stored_tokens(docs, text_col, keep=["doc_id", block_col])
+    toks = F.col("_toks")
     sh = F.when(
         F.size(toks) < k,
         F.array(F.xxhash64(F.array_join(toks, " ")))
@@ -512,8 +534,8 @@ def _word_gram_frame(docs: DataFrame, text_col: str, k: int,
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")))))
-    return docs.select(F.col("doc_id"), F.col(block_col).alias("_block"),
-                       sh.alias("grams"))
+    return stored.select(F.col("doc_id"), F.col(block_col).alias("_block"),
+                         sh.alias("grams"))
 
 
 def word_containment_pairs_native(docs: DataFrame, text_col: str = "text",
@@ -775,14 +797,16 @@ def duplicated_ngram_windows(docs: DataFrame, n: int = 8,
     (window, doc) key first, then a combinable count) so a boilerplate
     window present on 10^10 pages never funnels raw rows to one
     reducer."""
-    toks = _native_tokens(F.col(text_col))
+    stored = _stored_tokens(docs.select(F.col(id_col).alias("doc_id"),
+                                        F.col(text_col)),
+                            text_col, keep=["doc_id"])
+    toks = F.col("_toks")
     wins = F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.md5(F.array_join(F.slice(toks, i, n), " "))))
-    exploded = docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode(wins).alias("w"))
+    exploded = stored.select("doc_id", F.explode(wins).alias("w"))
     occ = exploded.groupBy("w").agg(
         F.count("*").cast("long").alias("n_occurrences"))
     per_doc = (exploded.dropDuplicates(["w", "doc_id"])
@@ -832,7 +856,11 @@ def _span_hits(docs: DataFrame, n: int, min_count: int,
     repeats included).  With keep_first, the corpus-wide first occurrence
     of each window (min doc_id, then min pos) is NOT a hit -- the 'leave
     one copy' policy of Lee et al. exact-substring dedup."""
-    toks = _ws_tokens(F.col(text_col))
+    stored = _stored_tokens(docs.select(F.col(id_col).alias("doc_id"),
+                                        F.col(text_col)),
+                            text_col, keep=["doc_id"],
+                            tokens=_ws_tokens(F.col(text_col)))
+    toks = F.col("_toks")
     wins = F.when(
         F.size(toks) < n, F.array().cast("array<struct<pos:int,w:string>>")
     ).otherwise(F.transform(
@@ -842,8 +870,7 @@ def _span_hits(docs: DataFrame, n: int, min_count: int,
             F.md5(F.array_join(
                 F.transform(F.slice(toks, i, n), _norm_in_place),
                 " ")).alias("w"))))
-    exploded = (docs.select(F.col(id_col).alias("doc_id"),
-                            F.explode(wins).alias("h"))
+    exploded = (stored.select("doc_id", F.explode(wins).alias("h"))
                 .select("doc_id", F.col("h.pos").alias("pos"),
                         F.col("h.w").alias("w")))
     dup = (exploded.groupBy("w")
