@@ -37,6 +37,26 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DOC_MULT = int(os.environ.get("BENCH_DOC_MULT", "8"))
+RESULT_PATH = os.environ.get(
+    "BENCH_RESULT_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_result.json"))
+
+
+def emit(obj) -> None:
+    """Single result sink: write the machine-readable artifact first,
+    then print the COMPACT JSON as the very last stdout line (console
+    progress is disabled session-wide, so no \\r noise precedes it).
+    Both halves exist because the driver's tail capture truncated the
+    r4 spread-enriched line (BENCH_r04.json parsed:null)."""
+    line = json.dumps(obj, separators=(",", ":"))
+    try:
+        with open(RESULT_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _mix64(a):
@@ -633,13 +653,13 @@ def main():
             s: round(out["zipf_head30"]["stage_sec"][s]
                      / max(out["uniform"]["stage_sec"][s], 1e-9), 2)
             for s in out["uniform"]["stage_sec"]}
-        print(json.dumps({
+        emit({
             "metric": "skew_stage_ratio_max",
             "value": max(ratios.values()), "unit": "ratio",
             "sf": SF_DIR, "queries": {},
             "detail": {"uniform": out["uniform"],
                        "zipf_head30": out["zipf_head30"],
-                       "stage_wall_ratio_zipf_over_uniform": ratios}}))
+                       "stage_wall_ratio_zipf_over_uniform": ratios}})
         return
 
     if "--ann" in sys.argv:
@@ -651,11 +671,11 @@ def main():
             r = run_ann_bench(spark, n)
         finally:
             spark.stop()
-        print(json.dumps({
+        emit({
             "metric": "ann_recall_min",
             "value": min(r["lsh_recall@10"], r["ivf_recall@10"],
                          r["quantized_recall@10"]),
-            "unit": "ratio", "sf": n, "queries": {}, "detail": r}))
+            "unit": "ratio", "sf": n, "queries": {}, "detail": r})
         return
 
     if "--corpus-scaling" in sys.argv:
@@ -680,11 +700,11 @@ def main():
                 shutil.rmtree(root, ignore_errors=True)
                 spark.stop()
         eff = out[hi]["docs_per_sec"] / ((hi / lo) * out[lo]["docs_per_sec"])
-        print(json.dumps({
+        emit({
             "metric": f"corpus_scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
-            "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}}))
+            "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}})
         return
 
     if "--scaling" in sys.argv:
@@ -724,16 +744,16 @@ def main():
                 c_hi = r_hi["full_dag"]["corpus_dag"]["docs_per_sec"]
                 detail["corpus_dag_efficiency"] = \
                     round(c_hi / ((hi / lo) * c_lo), 3)
-        print(json.dumps({
+        emit({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
-            "detail": detail}))
+            "detail": detail})
         return
 
     res = bench_once(CPUS, DOC_MULT, SF_DIR, with_queries=True)
     kg = res["kg"]
-    print(json.dumps({
+    emit({
         "metric": "kg_pipeline_sec",
         "value": round(kg["sec"], 3),
         "unit": "sec",
@@ -746,7 +766,7 @@ def main():
         "triples_per_sec": kg["triples_per_sec"],
         "full_dag": res["full_dag"],
         "conf": {"cpus": CPUS, "doc_mult": DOC_MULT},
-    }))
+    })
 
 
 if __name__ == "__main__":

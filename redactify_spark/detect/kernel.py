@@ -1101,14 +1101,25 @@ def normalize_full(etype: str) -> Optional[str]:
 def detect_document(text: str,
                     options: Optional[dict[str, bool]] = None,
                     domains: Optional[list[str]] = None,
-                    general_raw: Optional[list[dict]] = None) -> list[dict]:
+                    general_raw: Optional[list[dict]] = None,
+                    normalized: bool = True) -> list[dict]:
     """Reproduce `_detect_entities_single` + server normalization for one
     document.  Detector order pinned (see module docstring).
 
     `general_raw`: pre-computed (validated) general-NER spans for this
     text, supplied by the Spark stage when a BATCHED backend is
     registered (set_ner_batch_backend) -- model inference then runs once
-    per Arrow batch instead of once per document."""
+    per Arrow batch instead of once per document.
+
+    `normalized=False` stops after P6/P7 (`post_process`), i.e. BEFORE
+    server-side label normalization (P8) and options projection --
+    mirroring the engine/server split in the reference, where P6 dedup
+    (detection_engine.py:691-719) keys on PRE-normalization labels and
+    server.py:160-178 maps PER->PERSON afterwards.  At that stage the
+    (lower(surface), type) key is unique by construction; AFTER
+    normalization, sibling labels (PER vs PERSON, ORG vs ORGANIZATION,
+    LOC vs LOCATION) may merge into duplicate keys -- a reference quirk
+    pinned by tests/test_kernel_properties.py."""
     if not text:
         return []
     if domains is None:
@@ -1135,6 +1146,8 @@ def detect_document(text: str,
     if C.ENGINE_CONFIG["enable_fallback_name_detector"]:
         all_entities.extend(detect_fallback_names(text, all_entities))
     processed = post_process(all_entities, text)
+    if not normalized:
+        return processed
     processed = normalize_server(processed)
     return apply_options(processed, options)
 

@@ -59,11 +59,24 @@ def zorder_key_expr(cols: list[Column], bounds: list[tuple[float, float]],
 
 def zorder_write(df: DataFrame, path: str, by: list[str],
                  bits: int = 12, n_files: int = 16,
-                 bounds: list[tuple[float, float]] | None = None) -> None:
-    """Write df z-order-clustered on `by`: range-partition + sort by the
+                 bounds: list[tuple[float, float]] | None = None,
+                 partitioner: str = "range") -> None:
+    """Write df z-order-clustered on `by`: partition + sort by the
     Morton key, so each output file covers a compact hyper-rectangle of
     the clustered space.  `bounds` from table stats when known; else one
-    min/max aggregation (two scalars per column)."""
+    min/max aggregation (two scalars per column).
+
+    partitioner:
+      * "range" (default): `repartitionByRange` on the key -- balanced
+        file sizes under skew, but boundary SAMPLING adds a scan job and
+        makes the exact file layout nondeterministic across sessions.
+      * "fixed": fixed-width key buckets (floor(key * n_files /
+        keyspace)), hash-repartitioned so each bucket lands whole in one
+        task, written `partitionBy` bucket -> exactly one file per
+        non-empty bucket, one contiguous key range per file, fully
+        DETERMINISTIC and no sampling job.  Prefer for reproducible
+        layouts / near-uniform keys; skewed keys give unbalanced files.
+    """
     if bounds is None:
         aggs = []
         for c in by:
@@ -81,11 +94,25 @@ def zorder_write(df: DataFrame, path: str, by: list[str],
                     "together silently)")
             bounds.append((float(lo), float(hi)))
     key = zorder_key_expr([F.col(c) for c in by], bounds, bits)
-    (df.withColumn("_zkey", key)
-       .repartitionByRange(n_files, "_zkey")
-       .sortWithinPartitions("_zkey")
-       .drop("_zkey")
-       .write.mode("overwrite").parquet(path))
+    if partitioner == "fixed":
+        keyspace = 1 << (bits * len(by))
+        bucket = F.least(
+            F.lit(n_files - 1),
+            F.floor(F.col("_zkey") * n_files / F.lit(keyspace)))
+        (df.withColumn("_zkey", key)
+           .withColumn("_zbucket", bucket)
+           .repartition(n_files, "_zbucket")
+           .sortWithinPartitions("_zbucket", "_zkey")
+           .drop("_zkey")
+           .write.mode("overwrite").partitionBy("_zbucket").parquet(path))
+    elif partitioner == "range":
+        (df.withColumn("_zkey", key)
+           .repartitionByRange(n_files, "_zkey")
+           .sortWithinPartitions("_zkey")
+           .drop("_zkey")
+           .write.mode("overwrite").parquet(path))
+    else:
+        raise ValueError(f"unknown partitioner {partitioner!r}")
 
 
 def file_stats_report(path: str, cols: list[str]) -> list[dict]:

@@ -50,9 +50,89 @@ def test_detection_idempotent_deterministic(text):
 @given(texts)
 @settings(max_examples=100, deadline=None)
 def test_p6_unique_surface_type(text):
-    ms = kernel.detect_document(text)
-    keys = [(m["entity_text"].lower(), m["entity_group"]) for m in ms]
+    """P6 dedup keys on PRE-normalization labels (detection_engine.py:
+    691-719 runs before server.py:160-178), so uniqueness of
+    (lower(surface), type) holds at the post_process stage -- NOT after
+    P8 normalization, where sibling labels (PER/PERSON, ORG/ORGANIZATION,
+    LOC/LOCATION) may merge into duplicate keys.  The post-normalize
+    quirk is pinned by test_p6_pre_normalization_quirk_* below."""
+    ms = kernel.detect_document(text, normalized=False)
+    keys = [(m["entity_text"].lower(), m["entity_group"].upper())
+            for m in ms]
     assert len(keys) == len(set(keys))
+
+
+# ---------------------------------------------------------------------------
+# Reference quirk: P6 runs pre-normalization, so a surface detected as
+# `PER` by general NER and as `PERSON` by the PII-specialized model (whose
+# per-model map runs pre-union, pii_specialized_ner.py:246-274) survives
+# P6 TWICE and P8 merges both to duplicate PERSON mentions.  Found by
+# hypothesis in round 4; the reference does exactly this.
+# ---------------------------------------------------------------------------
+
+_QUIRK_TEXT = ("Alice Brown john.doe@example.com john.doe@example.com "
+               "ssn Alice Brown")
+
+
+def test_p6_pre_normalization_quirk_person():
+    ms = kernel.detect_document(_QUIRK_TEXT)
+    person_keys = [(m["entity_text"].lower(), m["entity_group"])
+                   for m in ms if m["entity_group"] == "PERSON"
+                   and m["entity_text"].lower() == "alice brown"]
+    # BOTH mentions survive: one entered P6 as PER (general NER), one as
+    # PERSON (pii-specialized map), keys differ, P8 maps PER->PERSON.
+    assert len(person_keys) == 2, ms
+    # pre-normalization output is still key-unique
+    raw = kernel.detect_document(_QUIRK_TEXT, normalized=False)
+    raw_keys = [(m["entity_text"].lower(), m["entity_group"].upper())
+                for m in raw]
+    assert len(raw_keys) == len(set(raw_keys))
+    labels = sorted(m["entity_group"].upper() for m in raw
+                    if m["entity_text"].lower() == "alice brown")
+    assert labels == ["PER", "PERSON"], raw
+
+
+def test_p6_quirk_anonymization_splices_both():
+    """Anonymization consequence of the quirk: both duplicate PERSON
+    spans are spliced (each occupies a distinct position)."""
+    ms = kernel.detect_document(_QUIRK_TEXT)
+    out = A.anonymize_text(_QUIRK_TEXT, ms, "redact")
+    assert "Alice Brown" not in out
+    assert out.count("[REDACTED-PERSON]") == 2, out
+
+
+def _quirk_pair_via_post_process(raw_label, canon_label):
+    """Unit-level pin for each sibling pair: two synthetic mentions of
+    the same surface at distinct positions, one carrying the raw label
+    and one the canonical label, both clear P6 (distinct keys) and merge
+    to duplicate canonical keys after normalize_server."""
+    text = "Acme Widget things Acme Widget"
+    ents = [
+        {"entity_group": raw_label, "start": 0, "end": 11, "score": 0.9,
+         "word": "Acme Widget", "detector": "t1"},
+        {"entity_group": canon_label, "start": 19, "end": 30, "score": 0.8,
+         "word": "Acme Widget", "detector": "t2"},
+    ]
+    processed = kernel.post_process(ents, text)
+    keys = [(m["entity_text"].lower(), m["entity_group"].upper())
+            for m in processed]
+    assert len(keys) == 2 and len(set(keys)) == 2, processed
+    final = kernel.normalize_server(processed)
+    final_keys = [(m["entity_text"].lower(), m["entity_group"].upper())
+                  for m in final]
+    assert final_keys == [("acme widget", canon_label)] * 2, final
+
+
+def test_p6_pre_normalization_quirk_org():
+    _quirk_pair_via_post_process("ORG", "ORGANIZATION")
+
+
+def test_p6_pre_normalization_quirk_loc():
+    _quirk_pair_via_post_process("LOC", "LOCATION")
+
+
+def test_p6_pre_normalization_quirk_per_unit():
+    _quirk_pair_via_post_process("PER", "PERSON")
 
 
 @given(texts, st.sampled_from(["pseudonymize", "mask", "redact", "custom"]))
