@@ -1562,6 +1562,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (lang_id_ngram(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
 
+    def q106_langid_multiscript(spark, sf):
+        """Cross-script language ID (VERDICT r4 #3): dominant Unicode
+        script per document via native regexp char-class counts (no
+        codepoint explode, zero extra shuffles), routed to 14-language
+        trigram profiles for Latin/Cyrillic/Greek/Arabic and to
+        script-level codes (zh/ja/ko/th/he/hi, han+kana -> ja) for CJK/
+        Thai/Hebrew/Devanagari.  The DuckDB oracle rebuilds the script
+        classes, routing AND trigram profiles from the same vendored
+        dicts -- bit-identical integer scores."""
+        from redactify_spark.operators.langid import lang_id_multiscript
+        return (lang_id_multiscript(_t(spark, sf, "documents"))
+                .orderBy("doc_id"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1681,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_exact_substring_spans": q103_exact_substring_spans,
         "q104_langid_ngram": q104_langid_ngram,
         "q105_bpe_chunks": q105_bpe_chunks,
+        "q106_langid_multiscript": q106_langid_multiscript,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -3408,13 +3422,16 @@ def oracle_sql() -> dict[str, str]:
     # scores every document with integer micro-log sums -- bit-identical
     # to the native path by construction.
     from redactify_spark.operators.langid import (ACCENTS_FROM, ACCENTS_TO,
-                                                  LANG_SAMPLES, TOP_K)
+                                                  KEEP_CLASS, LANG_SAMPLES,
+                                                  STRIP_CHARS, TOP_K)
     _sample_values = ",\n                ".join(
         f"('{lang}', '{text}')" for lang, text in sorted(LANG_SAMPLES.items()))
-    _norm = ("trim(regexp_replace(translate(lower({col}), "
-             f"'{ACCENTS_FROM}', '{ACCENTS_TO}'), "
-             "'[^a-z]+', ' ', 'g'))")
-    sql["q104_langid_ngram"] = f"""
+    _norm = ("trim(regexp_replace(translate(translate(lower({col}), "
+             f"'{ACCENTS_FROM}', '{ACCENTS_TO}'), '{STRIP_CHARS}', ''), "
+             f"'{KEEP_CLASS}', ' ', 'g'))")
+    # shared CTE prefix (profile rebuild + per-doc trigram scoring) for
+    # q104 and the cross-script q106
+    _lid_prefix = f"""
         WITH samples(lang, sample) AS (VALUES
                 {_sample_values}),
         nrm AS (SELECT lang, {_norm.format(col='sample')} AS s FROM samples),
@@ -3454,7 +3471,8 @@ def oracle_sql() -> dict[str, str]:
                         row_number() OVER (
                             PARTITION BY doc_id
                             ORDER BY score_micro DESC, lang ASC) AS rn
-                 FROM scores)
+                 FROM scores)"""
+    sql["q104_langid_ngram"] = _lid_prefix + """
         SELECT d.doc_id,
                coalesce(b.lang, 'und') AS lang_pred,
                CAST(coalesce(b.score_micro, 0) AS BIGINT) AS score_micro,
@@ -3462,6 +3480,59 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         ORDER BY d.doc_id
+    """
+    # ---- q106: cross-script language ID -------------------------------------
+    # Script classes + routing REBUILT in SQL from the same dicts as the
+    # Spark operator (SCRIPT_CLASSES / SCRIPT_LANG / TRIGRAM_SCRIPTS) --
+    # dominant script = max count, ties to the LAST name (mirrors the
+    # operator's struct-max tie-break), han+kana -> ja, trigram scripts
+    # route to the `best` CTE above, letterless docs -> und.
+    from redactify_spark.operators.langid import (SCRIPT_CLASSES,
+                                                  SCRIPT_LANG,
+                                                  TRIGRAM_SCRIPTS)
+    _scr_values = ",\n                ".join(
+        f"('{name}', '{cls}')"
+        for name, cls in sorted(SCRIPT_CLASSES.items()))
+    _script_cases = "\n                    ".join(
+        f"WHEN script = '{s}' THEN '{code}'"
+        for s, code in sorted(SCRIPT_LANG.items()))
+    _tri_scripts = ", ".join(f"'{s}'" for s in TRIGRAM_SCRIPTS)
+    sql["q106_langid_multiscript"] = _lid_prefix + f""",
+        scr(name, cls) AS (VALUES
+                {_scr_values}),
+        dcnt AS (SELECT d.doc_id, s.name,
+                        len(lower(d.text))
+                        - len(regexp_replace(lower(d.text), s.cls, '', 'g'))
+                        AS c
+                 FROM documents d CROSS JOIN scr s),
+        dom AS (SELECT doc_id, name, c, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, name DESC) AS rn
+                FROM dcnt),
+        domin AS (SELECT doc_id,
+                         CASE WHEN c > 0 THEN name ELSE 'none' END AS script
+                  FROM dom WHERE rn = 1),
+        kana AS (SELECT doc_id, c AS kana_c FROM dcnt WHERE name = 'kana'),
+        routed AS (
+            SELECT m.doc_id, m.script,
+                   b.lang, coalesce(b.score_micro, 0) AS score_micro,
+                   coalesce(b.n_ngrams, 0) AS n_ngrams,
+                   (m.script IN ({_tri_scripts})
+                    AND coalesce(b.n_ngrams, 0) > 0) AS tri_route,
+                   k.kana_c
+            FROM domin m
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+            JOIN kana k USING (doc_id))
+        SELECT doc_id, script,
+               CASE WHEN script = 'han' AND kana_c > 0 THEN 'ja'
+                    {_script_cases}
+                    WHEN tri_route THEN lang
+                    ELSE 'und' END AS lang_pred,
+               CAST(CASE WHEN tri_route THEN score_micro ELSE 0 END
+                    AS BIGINT) AS score_micro,
+               CAST(CASE WHEN tri_route THEN n_ngrams ELSE 0 END
+                    AS BIGINT) AS n_ngrams
+        FROM routed
+        ORDER BY doc_id
     """
     return sql
 

@@ -48,9 +48,32 @@ ACCENT_MAP = {
     "ć": "c", "č": "c", "ñ": "n", "ń": "n", "ý": "y", "ś": "s", "ş": "s",
     "š": "s", "ß": "s", "ź": "z", "ż": "z", "ž": "z", "ł": "l", "ğ": "g",
     "ț": "t", "ș": "s", "œ": "e", "æ": "e", "ř": "r", "ď": "d", "đ": "d",
+    # Cyrillic folds: ё->е (standard ru), ґ->г (uk; і/ї/є carry the
+    # uk-vs-ru signal, ґ is too rare to matter)
+    "ё": "е", "ґ": "г",
+    # Greek: tonos/dialytika accents + final sigma
+    "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+    "ώ": "ω", "ϊ": "ι", "ϋ": "υ", "ΐ": "ι", "ΰ": "υ", "ς": "σ",
+    # Arabic orthographic normalization: alef variants, alef maqsura,
+    # teh marbuta (the standard IR folding)
+    "أ": "ا", "إ": "ا", "آ": "ا", "ى": "ي", "ة": "ه",
 }
 ACCENTS_FROM = "".join(ACCENT_MAP)
 ACCENTS_TO = "".join(ACCENT_MAP.values())
+
+# Characters DELETED outright before the keep-class replace (a 'to'
+# shorter than 'from' in translate() deletes -- same semantics in Spark
+# and DuckDB): Arabic tashkeel diacritics + tatweel, which sit INSIDE
+# words (mapping them to space would split every vocalized word).
+STRIP_CHARS = "".join(chr(c) for c in range(0x064B, 0x0653)) + "ـ"
+
+# Letter classes the normalizer KEEPS (everything else becomes a word
+# break).  Post-fold lowercase only: ASCII Latin, Russian/Ukrainian
+# Cyrillic (і ї є are the uk extras), unaccented Greek, Arabic base
+# letters.  Scripts without trigram profiles (CJK, Thai, Hebrew,
+# Devanagari) are handled at SCRIPT level by lang_id_script below, so
+# the trigram normalizer deliberately drops them.
+KEEP_CLASS = "[^a-zа-яіїєα-ωء-ي]+"
 
 # Vendored training samples: ~70 words of generic prose per language
 # (function-word-dense on purpose; apostrophes avoided so the strings
@@ -125,6 +148,37 @@ LANG_SAMPLES = {
            "günlerinde yapılacak şeylerle ve gidilecek yerlerle dolu "
            "göründüğü zamanlar hakkında güzel bir hikayeden daha iyi bir "
            "şey yoktur"),
+    # Non-Latin-script languages (VERDICT r4 #3).  Same generic prose,
+    # function-word dense; Greek written without tonos (held-out
+    # accented text folds to match via ACCENT_MAP).
+    "ru": ("быстрая коричневая лиса прыгает через ленивую собаку и "
+           "люди которые были там сказали что это была одна из лучших "
+           "вещей которые они когда либо видели в своей жизни потому "
+           "что нет ничего лучше чем хорошая история о том что "
+           "случилось когда все были молоды и мир казался полным дел "
+           "которые можно было делать и мест куда можно было пойти с "
+           "друзьями и семьей в течение долгих летних дней"),
+    "uk": ("швидка коричнева лисиця стрибає через ледачого собаку і "
+           "люди які були там сказали що це була одна з найкращих "
+           "речей які вони коли небудь бачили у своєму житті тому що "
+           "немає нічого кращого ніж гарна історія про те що сталося "
+           "коли всі були молоді і світ здавався повним справ які "
+           "можна було робити і місць куди можна було піти з друзями "
+           "і родиною протягом довгих літніх днів"),
+    "el": ("η γρηγορη καφε αλεπου πηδαει πανω απο τον τεμπελη σκυλο "
+           "και οι ανθρωποι που ηταν εκει ειπαν οτι ηταν ενα απο τα "
+           "καλυτερα πραγματα που ειχαν δει ποτε στη ζωη τους γιατι "
+           "δεν υπαρχει τιποτα καλυτερο απο μια καλη ιστορια για το τι "
+           "συνεβη οταν ολοι ηταν νεοι και ο κοσμος φαινοταν γεματος "
+           "πραγματα να κανεις και μερη να πας με φιλους και "
+           "οικογενεια κατα τη διαρκεια των μεγαλων καλοκαιρινων "
+           "ημερων"),
+    "ar": ("الثعلب البني السريع يقفز فوق الكلب الكسول والناس الذين "
+           "كانوا هناك قالوا انها كانت واحدة من افضل الاشياء التي "
+           "رأوها في حياتهم لانه لا يوجد شيء افضل من قصة جيدة عن ما "
+           "حدث عندما كان الجميع صغارا وبدا العالم مليئا بالاشياء "
+           "التي يمكن القيام بها والاماكن التي يمكن الذهاب اليها مع "
+           "الاصدقاء والعائلة خلال ايام الصيف الطويلة"),
 }
 
 TOP_K = 60  # trigrams kept per language (ties: count desc, trigram asc)
@@ -132,11 +186,13 @@ TOP_K = 60  # trigrams kept per language (ties: count desc, trigram asc)
 
 def _normalize_py(s: str) -> str:
     """Python mirror of the native normalization: lower -> accent-fold
-    -> non-letter runs to single space -> trim.  Used only to build the
-    profile from the vendored samples (tiny, driver-side)."""
+    -> strip in-word diacritics -> non-letter runs to single space ->
+    trim.  Used only to build the profile from the vendored samples
+    (tiny, driver-side)."""
     import re
     s = s.lower().translate(str.maketrans(ACCENTS_FROM, ACCENTS_TO))
-    return re.sub("[^a-z]+", " ", s).strip()
+    s = s.translate({ord(c): None for c in STRIP_CHARS})
+    return re.sub(KEEP_CLASS, " ", s).strip()
 
 
 def _trigrams_py(s: str) -> list[str]:
@@ -172,9 +228,11 @@ def build_profiles() -> tuple[list[tuple[str, str, int]], int]:
 
 
 def normalize_expr(text: Column) -> Column:
-    """Native mirror of _normalize_py."""
+    """Native mirror of _normalize_py (translate with a shorter 'to'
+    DELETES the extra 'from' chars -- same in Spark and DuckDB)."""
     folded = F.translate(F.lower(text), ACCENTS_FROM, ACCENTS_TO)
-    return F.trim(F.regexp_replace(folded, "[^a-z]+", " "))
+    stripped = F.translate(folded, STRIP_CHARS, "")
+    return F.trim(F.regexp_replace(stripped, KEEP_CLASS, " "))
 
 
 def lang_id_ngram(docs: DataFrame, text_col: str = "text",
@@ -212,3 +270,86 @@ def lang_id_ngram(docs: DataFrame, text_col: str = "text",
                     F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
                     F.coalesce("score_micro", F.lit(0)).alias("score_micro"),
                     F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams")))
+
+
+# ---------------------------------------------------------------------------
+# Script-range classifier + cross-script language ID (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+# Unicode-block character classes counted per document (over lower()ed
+# text, so only lowercase ranges are needed for cased scripts).  Literal
+# codepoints, valid in both Java regex (Spark) and RE2 (DuckDB).
+SCRIPT_CLASSES = {
+    "latin": "[a-z]",
+    "cyrillic": "[а-џҐґ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "han": "[㐀-䶿一-鿿]",
+    "kana": "[぀-ヿ]",            # hiragana + katakana
+    "hangul": "[ᄀ-ᇿ㄰-㆏가-힯]",
+    "thai": "[฀-๿]",
+    "hebrew": "[֐-׿]",
+    "devanagari": "[ऀ-ॿ]",
+}
+# scripts resolved by the trigram profiles above
+TRIGRAM_SCRIPTS = ("arabic", "cyrillic", "greek", "latin")
+# scripts resolved at script level (no per-language trigram profile;
+# CJK stays script-level deliberately)
+SCRIPT_LANG = {"han": "zh", "kana": "ja", "hangul": "ko", "thai": "th",
+               "hebrew": "he", "devanagari": "hi"}
+
+
+def script_count_expr(text: Column, script: str) -> Column:
+    """#codepoints of `script` in lower(text): length minus length with
+    the class deleted -- a counter both Spark and DuckDB evaluate
+    natively (no codepoint explode)."""
+    lo = F.lower(text)
+    return (F.length(lo) - F.length(
+        F.regexp_replace(lo, SCRIPT_CLASSES[script], ""))).cast("long")
+
+
+def dominant_script_expr(text: Column) -> Column:
+    """Dominant script name, 'none' when the text has no letters of any
+    known script.  Tie-break: the script whose name sorts LAST among the
+    tied counts (struct max semantics -- mirrored in the DuckDB oracle
+    with ORDER BY cnt DESC, name DESC)."""
+    pairs = [F.struct(script_count_expr(text, s).alias("cnt"),
+                      F.lit(s).alias("name"))
+             for s in sorted(SCRIPT_CLASSES)]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["cnt"] > 0, best["name"]).otherwise(F.lit("none"))
+
+
+def lang_id_multiscript(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, script, lang_pred, score_micro, n_ngrams): cross-script
+    language ID.  Documents whose dominant script is trigram-capable
+    (Latin, Cyrillic, Greek, Arabic) route to the 14-language trigram
+    profiles; han/kana/hangul/thai/hebrew/devanagari resolve at script
+    level (zh/ja/ko/th/he/hi; han with ANY kana present -> ja, the
+    standard ja-vs-zh heuristic); no known letters at all -> 'und'.
+    Script counting is pure expression work (zero extra shuffles on top
+    of lang_id_ngram's one combinable groupBy)."""
+    scripts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        dominant_script_expr(F.col(text_col)).alias("script"),
+        script_count_expr(F.col(text_col), "kana").alias("_kana_cnt"))
+    tri = lang_id_ngram(docs, text_col=text_col, id_col=id_col) \
+        .withColumnsRenamed({"lang_pred": "_tri_lang",
+                             "score_micro": "_tri_score",
+                             "n_ngrams": "_tri_n"})
+    script_lang = F.when(
+        (F.col("script") == "han") & (F.col("_kana_cnt") > 0), F.lit("ja"))
+    for s, code in sorted(SCRIPT_LANG.items()):
+        script_lang = script_lang.when(F.col("script") == s, F.lit(code))
+    trigram_route = F.col("script").isin(*TRIGRAM_SCRIPTS) \
+        & (F.col("_tri_n") > 0)
+    return (scripts.join(tri, "doc_id")
+            .select("doc_id", "script",
+                    script_lang
+                    .when(trigram_route, F.col("_tri_lang"))
+                    .otherwise(F.lit("und")).alias("lang_pred"),
+                    F.when(trigram_route, F.col("_tri_score"))
+                     .otherwise(F.lit(0)).cast("long").alias("score_micro"),
+                    F.when(trigram_route, F.col("_tri_n"))
+                     .otherwise(F.lit(0)).cast("long").alias("n_ngrams")))

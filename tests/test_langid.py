@@ -34,6 +34,25 @@ HELD_OUT = [
     (11, "und", "12345 67890 !!! ### 42"),
     (12, "und", ""),
     (13, "und", "   \t\n  "),
+    # non-Latin trigram languages (VERDICT r4 #3)
+    (14, "ru", "Он шёл по городу и спросил где находится вокзал потому "
+               "что хотел сесть на поезд"),
+    (15, "uk", "Вона йшла містом і запитала де знаходиться вокзал тому "
+               "що хотіла сісти на потяг"),
+    (16, "el", "Περπάτησε στην πόλη και ρώτησε πού είναι ο σταθμός για "
+               "να πάρει το τρένο"),
+    (17, "ar", "مشى في المدينة وسأل أين توجد المحطة لأنه أراد أن يأخذ القطار"),
+]
+
+# script-level languages: (id, script, lang, text)
+SCRIPT_HELD_OUT = [
+    (21, "han", "zh", "他走过城市并询问火车站在哪里因为他想坐火车"),
+    (22, "kana", "ja", "かれは まちを あるいて えきが どこに あるか たずねました"),
+    (23, "han", "ja", "東京駅発の新幹線特急列車は高速運転だ"),   # han-dominant + kana -> ja
+    (24, "hangul", "ko", "그는 도시를 걸으며 역이 어디에 있는지 물었다"),
+    (25, "thai", "th", "เขาเดินผ่านเมืองและถามว่าสถานีรถไฟอยู่ที่ไหน"),
+    (26, "hebrew", "he", "הוא הלך בעיר ושאל איפה תחנת הרכבת"),
+    (27, "devanagari", "hi", "वह शहर से गुजरा और पूछा कि रेलवे स्टेशन कहाँ है"),
 ]
 
 
@@ -43,6 +62,44 @@ def test_langid_held_out_accuracy(spark):
     got = {r.doc_id: r.lang_pred for r in lang_id_ngram(df).collect()}
     for i, want, _ in HELD_OUT:
         assert got[i] == want, (i, want, got[i])
+
+
+def test_langid_multiscript_script_level(spark):
+    """Script-level routing: dominant Unicode script + mapped code;
+    han with any kana present -> ja."""
+    from redactify_spark.operators.langid import lang_id_multiscript
+    df = spark.createDataFrame([(i, t) for i, _, _, t in SCRIPT_HELD_OUT],
+                               ["doc_id", "text"])
+    got = {r.doc_id: (r.script, r.lang_pred, r.score_micro, r.n_ngrams)
+           for r in lang_id_multiscript(df).collect()}
+    for i, script, lang, _ in SCRIPT_HELD_OUT:
+        assert got[i][0] == script, (i, script, got[i])
+        assert got[i][1] == lang, (i, lang, got[i])
+        # script-level docs carry no trigram evidence
+        assert got[i][2] == 0 and got[i][3] == 0, (i, got[i])
+
+
+def test_langid_multiscript_trigram_routing(spark):
+    """Trigram-capable scripts route through the profile scorer and
+    agree with lang_id_ngram; letterless docs stay 'und'."""
+    from redactify_spark.operators.langid import lang_id_multiscript
+    df = spark.createDataFrame([(i, t) for i, _, t in HELD_OUT],
+                               ["doc_id", "text"])
+    tri = {r.doc_id: (r.lang_pred, r.score_micro)
+           for r in lang_id_ngram(df).collect()}
+    multi = {r.doc_id: (r.script, r.lang_pred, r.score_micro)
+             for r in lang_id_multiscript(df).collect()}
+    want_script = {"en": "latin", "de": "latin", "fr": "latin",
+                   "es": "latin", "it": "latin", "pt": "latin",
+                   "nl": "latin", "sv": "latin", "pl": "latin",
+                   "tr": "latin", "ru": "cyrillic", "uk": "cyrillic",
+                   "el": "greek", "ar": "arabic", "und": "none"}
+    for i, want, _ in HELD_OUT:
+        script, lang, score = multi[i]
+        assert lang == tri[i][0] == want, (i, want, lang, tri[i][0])
+        assert script == want_script[want], (i, want, script)
+        if want != "und":
+            assert score == tri[i][1]
 
 
 def test_langid_training_samples_self_classify(spark):
