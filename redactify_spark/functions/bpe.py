@@ -120,14 +120,94 @@ def train_bpe(corpus: str = SEED_CORPUS,
 _MERGES: list[tuple[str, str]] | None = None
 _RANKS: dict[tuple[str, str], int] | None = None
 _WORD_MEMO: dict[str, tuple[str, ...]] = {}
+# user-installed merges (set_merges / use_merges_file); None = default
+_CUSTOM_MERGES: list[tuple[str, str]] | None = None
+
+
+def load_merges_file(path: str) -> list[tuple[str, str]]:
+    """Parse a merges.txt (the public GPT-2/HF format: one
+    space-separated symbol pair per line; '#...' header lines and
+    blanks skipped).  Purely mechanical -- the pairs become the rank
+    table as-is, so a file exported by export_merges_file round-trips
+    exactly; a byte-level GPT-2 file also loads, with the caveat that
+    its 'Ġ'-prefixed symbols never match this module's '</w>'-sentinel
+    pre-tokens (document-level token counts then reflect only the
+    non-prefixed merges)."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(f"malformed merges line: {ln!r}")
+            merges.append((parts[0], parts[1]))
+    if not merges:
+        raise ValueError(f"no merges found in {path}")
+    return merges
+
+
+def export_merges_file(path: str) -> int:
+    """Write the ACTIVE merges table in merges.txt format (loadable by
+    load_merges_file and by HF tokenizers)."""
+    table = merges_table()
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: redactify-bpe\n")
+        for a, b in table:
+            f.write(f"{a} {b}\n")
+    return len(table)
+
+
+def set_merges(merges: list[tuple[str, str]] | None) -> None:
+    """Install a merges table process-wide (None = revert to the
+    default resolution order: $BPE_MERGES_PATH file, else the vendored
+    trainer).  Clears the word memo -- cached encodings are
+    rank-table-specific."""
+    global _CUSTOM_MERGES, _MERGES, _RANKS
+    _CUSTOM_MERGES = ([tuple(p) for p in merges]
+                      if merges is not None else None)
+    _MERGES = None
+    _RANKS = None
+    _WORD_MEMO.clear()
+
+
+def use_merges_file(path: str) -> int:
+    """Driver-side entry point for a runtime tokenizer: load + install.
+    Spark-side kernels snapshot the installed table into their closures
+    (see bpe_token_count_udf / bpe_chunk_documents), so executors
+    follow the driver automatically; alternatively ship the file with
+    `spark-submit --files merges.txt` and set BPE_MERGES_PATH on the
+    executors."""
+    merges = load_merges_file(path)
+    set_merges(merges)
+    return len(merges)
+
+
+def reset_merges() -> None:
+    set_merges(None)
 
 
 def merges_table() -> list[tuple[str, str]]:
     global _MERGES, _RANKS
     if _MERGES is None:
-        _MERGES = train_bpe()
+        if _CUSTOM_MERGES is not None:
+            _MERGES = list(_CUSTOM_MERGES)
+        else:
+            import os
+            env_path = os.environ.get("BPE_MERGES_PATH")
+            _MERGES = (load_merges_file(env_path) if env_path
+                       else train_bpe())
         _RANKS = {p: i for i, p in enumerate(_MERGES)}
     return _MERGES
+
+
+def _ensure_worker_merges(snapshot: list[tuple[str, str]] | None) -> None:
+    """Executor-side sync: align this python worker's merges table with
+    the driver-side snapshot captured at plan-build time (covers both
+    install and revert; no-op when already aligned)."""
+    if snapshot != _CUSTOM_MERGES:
+        set_merges(snapshot)
 
 
 def merges_md5() -> str:
@@ -172,10 +252,13 @@ def bpe_decode(tokens: list[str]) -> str:
 
 def bpe_token_count_udf() -> Column:
     """Factory for an Arrow-batched count kernel (call once, apply to a
-    text column)."""
+    text column).  Captures the currently-installed merges table so
+    executors tokenize with the same vocabulary as the driver."""
     import pandas as pd
+    snapshot = _CUSTOM_MERGES
 
     def _count(s):
+        _ensure_worker_merges(snapshot)
         return s.map(lambda t: len(bpe_tokens(t or "")))
 
     _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -213,8 +296,10 @@ def bpe_chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 
     sel = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col).alias("_text"))
+    snapshot = _CUSTOM_MERGES
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _ensure_worker_merges(snapshot)
         for pdf in batches:
             rec = {f.name: [] for f in _CHUNK_SCHEMA.fields}
             for did, text in zip(pdf["doc_id"], pdf["_text"]):

@@ -140,3 +140,97 @@ def test_budget_pack_bpe_tokenizer_flag(spark):
     assert kept == [0, 1, 2, 3, 4]
     with pytest.raises(ValueError):
         token_budget_pack(df, budget=10, tokenizer="nope")
+
+
+# ---------------------------------------------------------------------------
+# Runtime merges.txt (VERDICT r4 #5): user-supplied vocabulary
+# ---------------------------------------------------------------------------
+
+# A small user-supplied merges file (GPT-2 merges.txt format).  With
+# ONLY these merges installed, tokenization is pinned below by hand:
+# 'th'+'e</w>' needs 'e </w>' first, then 'th' and 'th+e</w>'.
+USER_MERGES = """#version: test-fixture
+e </w>
+t h
+th e</w>
+i n
+g </w>
+in g</w>
+d </w>
+a n
+an d</w>
+"""
+
+USER_PINNED = {
+    # th+e</w> assembled through three ranked merges; everything else
+    # stays characters (+</w>)
+    "the thing": ["the</w>", "th", "ing</w>"],
+    "and then": ["and</w>", "th", "e", "n", "</w>"],
+    "ed": ["e", "d</w>"],
+}
+
+
+@pytest.fixture
+def user_merges_file(tmp_path):
+    p = tmp_path / "merges.txt"
+    p.write_text(USER_MERGES, encoding="utf-8")
+    yield str(p)
+    bpe.reset_merges()          # never leak the fixture vocabulary
+
+
+def test_load_merges_file_roundtrip(tmp_path, user_merges_file):
+    merges = bpe.load_merges_file(user_merges_file)
+    assert merges[0] == ("e", "</w>") and merges[1] == ("t", "h")
+    assert len(merges) == 9
+    # export of the ACTIVE (vendored) table round-trips exactly
+    out = str(tmp_path / "exported.txt")
+    n = bpe.export_merges_file(out)
+    assert n == len(bpe.merges_table())
+    assert bpe.load_merges_file(out) == bpe.merges_table()
+    with pytest.raises(ValueError):
+        empty = tmp_path / "empty.txt"
+        empty.write_text("#only a header\n")
+        bpe.load_merges_file(str(empty))
+
+
+def test_user_merges_pinned_tokenizations(user_merges_file):
+    vendored_md5 = bpe.merges_md5()
+    n = bpe.use_merges_file(user_merges_file)
+    assert n == 9
+    assert bpe.merges_md5() != vendored_md5
+    for text, want in USER_PINNED.items():
+        assert bpe.bpe_tokens(text) == want, text
+    # revert restores the pinned vendored vocabulary exactly
+    bpe.reset_merges()
+    assert bpe.merges_md5() == vendored_md5
+    assert bpe.merges_md5() == PINNED_MERGES_MD5
+
+
+def test_user_merges_reach_spark_executors(spark, user_merges_file):
+    """The closure snapshot must carry the runtime vocabulary into
+    python workers: counts computed on executors match driver-side
+    bpe_tokens under the SAME user table, and differ from the vendored
+    counts."""
+    texts = [(1, "the thing"), (2, "and then the thing began"),
+             (3, "reading and counting")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    vendored = {r.doc_id: r.n_tokens_bpe
+                for r in bpe.with_bpe_token_counts(df).collect()}
+    bpe.use_merges_file(user_merges_file)
+    got = {r.doc_id: r.n_tokens_bpe
+           for r in bpe.with_bpe_token_counts(df).collect()}
+    want = {i: len(bpe.bpe_tokens(t)) for i, t in texts}
+    assert got == want
+    assert got != vendored
+    chunks = bpe.bpe_chunk_documents(df, chunk_tokens=4, overlap=0) \
+        .collect()
+    # chunk token counts must come from the USER table too
+    total = {}
+    for r in chunks:
+        total[r.doc_id] = total.get(r.doc_id, 0) + r.n_chunk_tokens
+    assert total == want
+    # revert propagates as well (fresh snapshot -> vendored counts)
+    bpe.reset_merges()
+    back = {r.doc_id: r.n_tokens_bpe
+            for r in bpe.with_bpe_token_counts(df).collect()}
+    assert back == vendored

@@ -117,6 +117,14 @@ def main(argv=None):
     ap.add_argument("--env-subdir", default="environment",
                     help="the #alias the archive was attached under "
                          "(--archives env.tar.gz#environment)")
+    ap.add_argument("--bpe-merges", default=None,
+                    help="merges.txt installing a runtime BPE vocabulary "
+                         "(e.g. GPT-2's public file) for every BPE-backed "
+                         "operator in this job; the driver loads it and "
+                         "Spark kernels snapshot it into their closures, "
+                         "so plain driver-local paths work -- no --files "
+                         "needed.  Default: the vendored deterministic "
+                         "trainer (functions/bpe.py)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -138,6 +146,11 @@ def main(argv=None):
                            f"create=true")
                    .enableHiveSupport())
     spark = builder.getOrCreate()
+
+    if args.bpe_merges:
+        from redactify_spark.functions.bpe import use_merges_file
+        n_merges = use_merges_file(args.bpe_merges)
+        print(f"bpe: installed {n_merges} merges from {args.bpe_merges}")
 
     warmup_rows = []
     if args.warmup:
