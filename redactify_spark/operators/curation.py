@@ -60,7 +60,11 @@ def token_budget_pack(docs: DataFrame, budget: int,
     `tokenizer="bpe"` computes `token_col` itself with the vendored
     deterministic BPE (functions/bpe.py) -- tokenizer-EXACT budgets
     instead of the regex approximation; default None consumes the
-    caller-provided count column unchanged.
+    caller-provided count column unchanged.  Passing tokenizer="bpe"
+    together with a docs column already named `token_col` raises --
+    otherwise a caller's precomputed counts would be silently
+    overwritten (ADVICE r4); point token_col at a fresh name (e.g. the
+    default "n_tokens" when docs carries none, or "n_tokens_bpe").
 
     Two-phase global cumsum (no single-partition window):
       1. within-band cumsum: window partitioned by the quality band,
@@ -69,6 +73,11 @@ def token_budget_pack(docs: DataFrame, budget: int,
          distinct-band table (driver-scale; broadcast back).
     Keep iff prefix + within-band cumsum <= budget."""
     if tokenizer == "bpe":
+        if token_col in docs.columns:
+            raise ValueError(
+                f"token_budget_pack(tokenizer='bpe') would overwrite "
+                f"existing column {token_col!r}; drop it or pass a fresh "
+                f"token_col (e.g. 'n_tokens_bpe')")
         from redactify_spark.functions.bpe import with_bpe_token_counts
         docs = with_bpe_token_counts(docs, text_col=text_col,
                                      out_col=token_col)

@@ -96,16 +96,11 @@ def build_edges_from_canon(m: DataFrame,
     uniform key (the doc ref spreads the shuffle evenly), then a count
     whose partial aggregation is map-side combinable -- the hot key's
     final reducer only merges per-partition counts."""
-    from redactify_spark.operators.triples import (CONTACT_TYPES,
-                                                   ENTITY_TYPES_FOR_CONTACT)
-    ents = (m.where(F.col("entity_group").isin(*ENTITY_TYPES_FOR_CONTACT))
-            .select(F.col(id_col).alias("_doc"),
-                    F.col("canon_id").alias("src")))
-    contacts = (m.where(F.col("entity_group").isin(*CONTACT_TYPES))
-                .select(F.col(id_col).alias("_doc"),
-                        F.col("canon_id").alias("dst")))
-    return (ents.join(contacts, "_doc")
-            .select("src", F.lit("has_contact").alias("pred"), "dst",
+    from redactify_spark.operators.triples import contact_pairs
+    return (contact_pairs(m, id_col, "canon_id")
+            .select(F.col("subj").alias("src"),
+                    F.lit("has_contact").alias("pred"),
+                    F.col("obj").alias("dst"),
                     F.col("_doc").cast("string").alias("prov_doc"))
             .distinct()
             .groupBy("src", "pred", "dst")

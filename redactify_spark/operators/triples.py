@@ -39,25 +39,42 @@ def mention_triples(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def contact_pairs(mentions: DataFrame, id_col: str, key_col: str,
+                  with_surfaces: bool = False) -> DataFrame:
+    """THE entity/contact pairing predicate -- single definition shared
+    by contact_triples (pseudo_key level) and graph.
+    build_edges_from_canon (canon_id level), so the KG edge stage can
+    never silently diverge from the triple path (ADVICE r4): a
+    PERSON/ORG mention joined to an EMAIL/PHONE mention within the same
+    document.  Emits (_doc, subj, obj [, subj_surface, obj_surface]),
+    one row per co-mention occurrence (callers dedup at their own
+    granularity)."""
+    subj_cols = [F.col(id_col).alias("_doc"),
+                 F.col(key_col).alias("subj")]
+    obj_cols = [F.col(id_col).alias("_doc"),
+                F.col(key_col).alias("obj")]
+    if with_surfaces:
+        subj_cols.append(F.col("surface").alias("subj_surface"))
+        obj_cols.append(F.col("surface").alias("obj_surface"))
+    ents = (mentions
+            .where(F.col("entity_group").isin(*ENTITY_TYPES_FOR_CONTACT))
+            .select(*subj_cols))
+    contacts = (mentions
+                .where(F.col("entity_group").isin(*CONTACT_TYPES))
+                .select(*obj_cols))
+    return ents.join(contacts, "_doc")
+
+
 def contact_triples(mentions: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(entity_key, has_contact, contact_key): a PERSON/ORG mention and an
     EMAIL/PHONE mention in the same document."""
-    ents = (mentions
-            .where(F.col("entity_group").isin(*ENTITY_TYPES_FOR_CONTACT))
-            .select(F.col(id_col).alias("_doc"),
-                    F.col("pseudo_key").alias("subj"),
-                    F.col("surface").alias("subj_surface")))
-    contacts = (mentions
-                .where(F.col("entity_group").isin(*CONTACT_TYPES))
-                .select(F.col(id_col).alias("_doc"),
-                        F.col("pseudo_key").alias("obj"),
-                        F.col("surface").alias("obj_surface")))
     # dedup PER DOCUMENT (multiple same-pair co-mentions inside one doc
     # collapse), but KEEP one row per supporting document -- provenance
     # carries the edge weight downstream (build_edges counts distinct
     # docs; a global (subj,pred,obj) dedup here would flatten every
     # weight to 1)
-    return (ents.join(contacts, "_doc")
+    return (contact_pairs(mentions, id_col, "pseudo_key",
+                          with_surfaces=True)
             .select("subj", F.lit("has_contact").alias("pred"), "obj",
                     F.col("_doc").cast("string").alias("prov_doc"),
                     "subj_surface", "obj_surface")

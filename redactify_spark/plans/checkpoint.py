@@ -50,6 +50,22 @@ def content_hash(df: DataFrame) -> int:
     return int(out or 0) % (1 << 61)
 
 
+def _rel_file_key(uri: str, base: str) -> str:
+    """input_file_name() URI -> path RELATIVE to the stage data dir --
+    the same key _parquet_footer_counts uses, so lineage dicts stay
+    comparable and a partitioned (subdir) layout cannot collapse
+    colliding part-00000 basenames into one entry."""
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    try:
+        return os.path.relpath(p, os.path.abspath(base))
+    except ValueError:
+        return os.path.basename(p)
+
+
 def stage_manifest_stats(spark: SparkSession, path: str) -> dict:
     """row_count + content_hash + per-file lineage counts in ONE scan:
     group by input file, sum per-file row hashes and counts, fold on the
@@ -66,7 +82,8 @@ def stage_manifest_stats(spark: SparkSession, path: str) -> dict:
     total = sum(r.n for r in rows)
     h = int(sum(int(r.s) for r in rows if r.s is not None)) % (1 << 61)
     return {"row_count": total, "content_hash": h,
-            "partitions": {os.path.basename(r.file): r.n for r in rows}}
+            "partitions": {_rel_file_key(r.file, path): r.n
+                           for r in rows}}
 
 
 def _parquet_footer_counts(path: str) -> dict[str, int]:
@@ -93,7 +110,7 @@ def partition_counts(spark: SparkSession, path: str) -> dict[str, int]:
     df = spark.read.parquet(path)
     rows = (df.groupBy(F.input_file_name().alias("file"))
             .count().collect())
-    return {os.path.basename(r.file): r["count"] for r in rows}
+    return {_rel_file_key(r.file, path): r["count"] for r in rows}
 
 
 def stage_complete(root: str, stage: str) -> bool:

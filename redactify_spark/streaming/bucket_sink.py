@@ -59,6 +59,20 @@ def stream_into_bucketed_table(stream_df: DataFrame, table: str, key: str,
 
     `transform(batch_df) -> DataFrame` runs inside each micro-batch
     (e.g. triple extraction); its output schema defines the table."""
+    # Eager table creation (ADVICE r4): derive the sink schema by
+    # running the transform over an EMPTY batch of the stream's schema,
+    # so `spark.table(table)` works even when the source has no data on
+    # first start (availableNow over an empty dir never invokes
+    # foreachBatch).  A transform that cannot evaluate an empty batch
+    # falls back to the old lazy first-batch creation.
+    session = stream_df.sparkSession
+    try:
+        probe = session.createDataFrame([], stream_df.schema)
+        out0 = transform(probe) if transform is not None else probe
+        ensure_bucketed_sink_table(session, out0, table, key, n_buckets)
+    except Exception:
+        pass
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch executes on a CLONED session with an isolated
         # SQLConf -- confs and catalog ops must go through the batch

@@ -234,3 +234,18 @@ def test_user_merges_reach_spark_executors(spark, user_merges_file):
     back = {r.doc_id: r.n_tokens_bpe
             for r in bpe.with_bpe_token_counts(df).collect()}
     assert back == vendored
+
+
+def test_budget_pack_bpe_refuses_to_overwrite_token_col(spark):
+    """ADVICE r4: tokenizer='bpe' + an existing token_col column must
+    raise, not silently replace the caller's precomputed counts."""
+    from redactify_spark.operators.curation import token_budget_pack
+    df = spark.createDataFrame(
+        [(1, "some text", 0.5, 99)],
+        ["doc_id", "text", "quality_score", "n_tokens"])
+    with pytest.raises(ValueError, match="overwrite"):
+        token_budget_pack(df, budget=100, tokenizer="bpe")
+    # a fresh target column works
+    out = token_budget_pack(df, budget=100, tokenizer="bpe",
+                            token_col="n_tokens_bpe")
+    assert out.count() == 1 and "n_tokens_bpe" in out.columns

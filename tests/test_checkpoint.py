@@ -145,3 +145,29 @@ def test_audit_pipeline_tool(spark, tmp_path):
     r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     assert r2.returncode == 1
     assert "FAIL  s2" in r2.stdout and "OK    s1" in r2.stdout
+
+
+def test_audit_lineage_keys_match_manifest_on_partitioned_layout(
+        spark, tmp_path):
+    """ADVICE r4: stage_manifest_stats / partition_counts must key
+    per-file lineage by the same RELATIVE path as the manifest's footer
+    counts, so a partitionBy (subdir) layout with colliding part-00000
+    basenames stays comparable file-by-file."""
+    from redactify_spark.plans import checkpoint as CP
+
+    path = str(tmp_path / "ptable")
+    (spark.range(200)
+     .selectExpr("id", "id % 3 AS part")
+     .repartition(1)
+     .write.partitionBy("part").parquet(path))
+
+    footer = CP._parquet_footer_counts(path)
+    stats = CP.stage_manifest_stats(spark, path)
+    counts = CP.partition_counts(spark, path)
+    # three subdirs, one file each -> basenames WOULD collide; relative
+    # keys must not
+    assert len(footer) == 3
+    assert set(stats["partitions"]) == set(footer)
+    assert counts == footer
+    assert stats["partitions"] == footer
+    assert stats["row_count"] == 200

@@ -424,3 +424,40 @@ def test_stream_triples_bucketed_sink_exactly_once(spark, tmp_path):
     assert "SortMergeJoin" in plan and "Exchange" not in plan
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_sink_table_exists_on_empty_source(spark, tmp_path):
+    """ADVICE r4: availableNow over an EMPTY source dir never invokes
+    foreachBatch -- the sink table must exist anyway (eagerly created
+    from the transformed stream schema) so spark.table(table) after
+    awaitTermination returns an empty table instead of raising."""
+    import os
+    import shutil
+
+    from redactify_spark.operators.detection import detect_mentions
+    from redactify_spark.operators.triples import all_triples
+    from redactify_spark.streaming import bucket_sink as BS
+
+    table = "stream_bucketed_empty_src_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    src = str(tmp_path / "pages_empty")
+    os.makedirs(src)
+    # an empty dir has no schema to infer -- supply it like a real
+    # deployment would (the sink contract under test is unchanged)
+    schema = synth_pages(spark, 1).schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .selectExpr("url", "text"))
+    q = BS.stream_into_bucketed_table(
+        stream, table, "subj", str(tmp_path / "ckpt_empty"),
+        transform=lambda b: all_triples(
+            detect_mentions(b, id_col="url", text_col="text"),
+            id_col="url"))
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.table(table)
+    assert out.count() == 0
+    assert "subj" in out.columns and "batch_id" in out.columns
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -116,6 +116,7 @@ def test_spark_submit_archives_model_env(tmp_path):
         assert w["transformers_version"] == "0.0-stub"
         assert w["backend_loaded"] is True
         assert w["load_sec"] >= 0.0
+        assert w["error"] is None
     assert s["n_triples"] > 0
 
     # negative control, no archive: import fails, gazetteer stays active
@@ -124,3 +125,5 @@ def test_spark_submit_archives_model_env(tmp_path):
         assert w["archive_found"] is False
         assert w["transformers_version"] is None
         assert w["backend_loaded"] is False
+        # ADVICE r4: the failure is diagnosable from the probe row
+        assert w["error"] and "transformers" in w["error"]

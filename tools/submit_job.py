@@ -38,6 +38,7 @@ def run_model_warmup(spark, n_probes: int, env_subdir: str) -> list[dict]:
         T.StructField("backend_loaded", T.BooleanType()),
         T.StructField("load_sec", T.DoubleType()),
         T.StructField("cached_second_call_sec", T.DoubleType()),
+        T.StructField("error", T.StringType()),
     ])
 
     def warm(batches):
@@ -54,6 +55,7 @@ def run_model_warmup(spark, n_probes: int, env_subdir: str) -> list[dict]:
         if found and root not in sys.path:
             sys.path.insert(0, root)
         t0 = time.time()
+        err, ver = None, None
         try:
             import transformers
             ver = getattr(transformers, "__version__", "?")
@@ -64,9 +66,12 @@ def run_model_warmup(spark, n_probes: int, env_subdir: str) -> list[dict]:
             kernel.try_load_hf_backend()  # warm path: archive
             # resolved + modules imported; weights page-cached
             sec2 = time.time() - t1
-        except ImportError:
-            ver, ok = None, False
+        except Exception as e:  # noqa: BLE001 -- a bad archive must
+            # produce a diagnosable probe row (backend_loaded=False +
+            # error string), not fail the whole warmup job (ADVICE r4)
+            ok = False
             sec, sec2 = time.time() - t0, 0.0
+            err = f"{type(e).__name__}: {e}"
         for pdf in batches:
             n = len(pdf)
             yield pd.DataFrame({
@@ -77,6 +82,7 @@ def run_model_warmup(spark, n_probes: int, env_subdir: str) -> list[dict]:
                 "backend_loaded": [ok] * n,
                 "load_sec": [round(sec, 4)] * n,
                 "cached_second_call_sec": [round(sec2, 4)] * n,
+                "error": [err] * n,
             })
 
     rows = (spark.range(n_probes).repartition(n_probes)
