@@ -43,15 +43,22 @@ RESULT_PATH = os.environ.get(
                  "bench_result.json"))
 
 
-def emit(obj) -> None:
+def emit(obj, mode: str = "") -> None:
     """Single result sink: write the machine-readable artifact first,
     then print the COMPACT JSON as the very last stdout line (console
     progress is disabled session-wide, so no \\r noise precedes it).
     Both halves exist because the driver's tail capture truncated the
-    r4 spread-enriched line (BENCH_r04.json parsed:null)."""
+    r4 spread-enriched line (BENCH_r04.json parsed:null).  Non-default
+    modes (--scaling, --ann, ...) write a mode-suffixed artifact so a
+    scaling run never clobbers the headline bench_result.json;
+    BENCH_RESULT_PATH overrides the path outright."""
     line = json.dumps(obj, separators=(",", ":"))
+    path = RESULT_PATH
+    if mode and "BENCH_RESULT_PATH" not in os.environ:
+        root, ext = os.path.splitext(path)
+        path = f"{root}_{mode}{ext}"
     try:
-        with open(RESULT_PATH, "w") as f:
+        with open(path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
@@ -659,7 +666,7 @@ def main():
             "sf": SF_DIR, "queries": {},
             "detail": {"uniform": out["uniform"],
                        "zipf_head30": out["zipf_head30"],
-                       "stage_wall_ratio_zipf_over_uniform": ratios}})
+                       "stage_wall_ratio_zipf_over_uniform": ratios}}, mode="skew")
         return
 
     if "--ann" in sys.argv:
@@ -675,7 +682,7 @@ def main():
             "metric": "ann_recall_min",
             "value": min(r["lsh_recall@10"], r["ivf_recall@10"],
                          r["quantized_recall@10"]),
-            "unit": "ratio", "sf": n, "queries": {}, "detail": r})
+            "unit": "ratio", "sf": n, "queries": {}, "detail": r}, mode="ann")
         return
 
     if "--corpus-scaling" in sys.argv:
@@ -704,7 +711,7 @@ def main():
             "metric": f"corpus_scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
-            "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}})
+            "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}}, mode="corpus_scaling")
         return
 
     if "--scaling" in sys.argv:
@@ -748,7 +755,7 @@ def main():
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
-            "detail": detail})
+            "detail": detail}, mode="scaling")
         return
 
     res = bench_once(CPUS, DOC_MULT, SF_DIR, with_queries=True)

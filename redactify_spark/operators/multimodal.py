@@ -157,10 +157,12 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int,
                   bpp: int) -> np.ndarray:
-    """Reverse the five PNG scanline filters (spec 9.2).  Up (2) is
-    vectorized across the row; Sub/Average/Paeth carry a left-pixel
-    dependence, resolved pixel-at-a-time over the row's bpp-strided
-    columns (rows are short; corpus parallelism is across images)."""
+    """Reverse the five PNG scanline filters (spec 9.2).  None/Up are
+    vectorized across the row; Sub is a per-channel-lane prefix sum
+    (mod 256 distributes over the cumsum, so it vectorizes too);
+    Average/Paeth carry a NONLINEAR left-pixel dependence (floor-half /
+    argmin predictor), resolved pixel-at-a-time over the row (rows are
+    bounded; corpus parallelism is across images)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.int32)
@@ -170,17 +172,18 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
         pos += 1 + stride
         if ftype == 0:                                  # None
             cur = line
+        elif ftype == 1:                                # Sub
+            cur = (np.cumsum(line.reshape(-1, bpp), axis=0) & 0xFF) \
+                .reshape(stride)
         elif ftype == 2:                                # Up
             cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):                        # Sub/Average/Paeth
+        elif ftype in (3, 4):                           # Average/Paeth
             cur = line.copy()
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:                                   # Paeth
                     p = a + b - c

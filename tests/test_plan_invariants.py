@@ -209,3 +209,21 @@ def test_registry_every_query_is_gated():
         with open(p) as f:
             assert name in f.read(), \
                 f"{gate_file} never references {name}"
+
+
+def test_q106_langid_broadcast_profile_single_agg_shuffle(spark, qs):
+    """Cross-script language ID plan shape: the trigram profile table
+    joins as a BROADCAST (constant-size, a few thousand rows -- never a
+    shuffle side), and the script classifier is pure expression work:
+    the only hashpartitioning Exchanges are the per-doc aggregation /
+    argmax-window / result-join keys on doc_id, with no SinglePartition
+    Exchange anywhere (the r4 langid contract, extended to the
+    multiscript router)."""
+    plan = plan_of(qs["q106_langid_multiscript"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the dominant-script computation must not add shuffles: every
+    # hashpartitioning exchange is keyed by doc_id
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "doc_id" in m.group(1), m.group(0)
