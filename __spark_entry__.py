@@ -1575,6 +1575,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (lang_id_multiscript(_t(spark, sf, "documents"))
                 .orderBy("doc_id"))
 
+    def q107_two_hop_paths(spark, sf):
+        """Two-hop neighborhood expansion over the part co-order graph:
+        node pairs a < c joined by >= 1 length-2 path, with path
+        multiplicity (= common-neighbor count) -- the KG related-entity
+        / link-prediction candidate primitive.  Wedge centers above the
+        degree cap are excluded (counted, never silently exploded); one
+        shuffle join on the mid key + one combinable agg."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return (G.two_hop_pair_counts(cooc)
+                .select(F.col("a").cast("long").alias("a"),
+                        F.col("c").cast("long").alias("c"), "n_paths")
+                .orderBy("a", "c"))
+
+    def q108_neighbor_jaccard(spark, sf):
+        """Structural entity similarity without embeddings: common-
+        neighborhood Jaccard over the part co-order graph, emitted only
+        for pairs sharing >= 1 neighbor (the wedge expansion IS the
+        candidate generation -- never all-pairs).  Alias-merge candidate
+        scoring in the KG."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return (G.neighbor_jaccard(cooc)
+                .select(F.col("a").cast("long").alias("a"),
+                        F.col("b").cast("long").alias("b"),
+                        "n_common", "deg_a", "deg_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+                .orderBy("a", "b"))
+
+    def q109_label_propagation(spark, sf):
+        """Community detection by synchronous label propagation (5
+        rounds, label_0 = node id, ties to the smallest label --
+        deterministic, RNG-free).  Per round: one shuffle join + two
+        combinable aggs, head-entity safe (label counts combine
+        map-side).  Oracle = the same 5 rounds unrolled as count/argmax
+        CTE pairs in DuckDB, exactly the q57 pagerank pattern."""
+        from redactify_spark.operators import graph_algs as G
+        li = _t(spark, sf, "lineitem")
+        cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return (G.label_propagation(cooc, iterations=5)
+                .select(F.col("node").cast("long").alias("node"),
+                        F.col("label").cast("long").alias("label"))
+                .orderBy("node"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1695,6 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_langid_ngram": q104_langid_ngram,
         "q105_bpe_chunks": q105_bpe_chunks,
         "q106_langid_multiscript": q106_langid_multiscript,
+        "q107_two_hop_paths": q107_two_hop_paths,
+        "q108_neighbor_jaccard": q108_neighbor_jaccard,
+        "q109_label_propagation": q109_label_propagation,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2511,6 +2560,61 @@ def oracle_sql() -> dict[str, str]:
         {pr_rounds}
         SELECT CAST(node AS BIGINT) AS node, round(r, 6) AS rank
         FROM r5 ORDER BY node
+    """
+
+    # ---- q107/q108: two-hop wedge expansion + neighbor Jaccard ------------
+    # mirrors graph_algs.two_hop_pair_counts: mid-nodes above the degree
+    # cap are excluded as wedge centers; endpoints never dropped
+    wedge_ctes = f"""
+        deg AS (SELECT src, count(*) AS c FROM sym GROUP BY src),
+        mid AS (SELECT s.src, s.dst FROM sym s
+                JOIN deg d ON d.src = s.src AND d.c <= {MAX_COOC_GROUP}),
+        twohop AS (SELECT l.dst AS a, r.dst AS c, count(*) AS n_paths
+                   FROM mid l JOIN mid r
+                     ON l.src = r.src AND l.dst < r.dst
+                   GROUP BY l.dst, r.dst)
+    """
+    sql["q107_two_hop_paths"] = f"""
+        WITH {cooc_ctes},
+        {wedge_ctes}
+        SELECT CAST(a AS BIGINT) AS a, CAST(c AS BIGINT) AS c,
+               CAST(n_paths AS BIGINT) AS n_paths
+        FROM twohop ORDER BY a, c
+    """
+
+    sql["q108_neighbor_jaccard"] = f"""
+        WITH {cooc_ctes},
+        {wedge_ctes}
+        SELECT CAST(t.a AS BIGINT) AS a, CAST(t.c AS BIGINT) AS b,
+               CAST(t.n_paths AS BIGINT) AS n_common,
+               CAST(da.c AS BIGINT) AS deg_a,
+               CAST(db.c AS BIGINT) AS deg_b,
+               round(CAST(t.n_paths AS DOUBLE)
+                     / (da.c + db.c - t.n_paths), 6) AS jaccard
+        FROM twohop t
+        JOIN deg da ON da.src = t.a
+        JOIN deg db ON db.src = t.c
+        ORDER BY a, b
+    """
+
+    # ---- q109: synchronous label propagation, 5 unrolled rounds ------------
+    lpa_rounds = ""
+    for i in range(1, 6):
+        lpa_rounds += f""",
+        c{i} AS (SELECT e.src, p.label, count(*) AS cnt
+                 FROM sym e JOIN l{i-1} p ON p.node = e.dst
+                 GROUP BY e.src, p.label),
+        l{i} AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (
+                         PARTITION BY src
+                         ORDER BY cnt DESC, label ASC) AS rn
+                     FROM c{i}) WHERE rn = 1)"""
+    sql["q109_label_propagation"] = f"""
+        WITH {cooc_ctes},
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)
+        {lpa_rounds}
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l5 ORDER BY node
     """
 
     sql["q58_triangles"] = f"""

@@ -202,10 +202,51 @@ def merges_table() -> list[tuple[str, str]]:
     return _MERGES
 
 
-def _ensure_worker_merges(snapshot: list[tuple[str, str]] | None) -> None:
+# tables below this size ride the kernel closure directly (a few KB --
+# an extra broadcast round trip would cost more than it saves); tables
+# at GPT-2 scale (~50k pairs, ~1 MB pickled) go through a Spark
+# broadcast so the bytes ship once per executor, not once per plan
+_BROADCAST_MIN_PAIRS = 4096
+# (installed-table ref, handle): holding the ref (not an id()) makes
+# the identity check immune to id reuse after GC
+_BCAST_CACHE: tuple[object, object] | None = None
+
+
+def _capture_snapshot():
+    """Driver-side: the merges value captured into a kernel closure at
+    plan-build time.  Large installed tables are wrapped in a Spark
+    broadcast (memoized per installed table, so N plans over the same
+    vocabulary reuse ONE broadcast); small tables and the None default
+    pass through unchanged (ADVICE r5, bpe.py closure-weight item)."""
+    global _BCAST_CACHE
+    snap = _CUSTOM_MERGES
+    if snap is None or len(snap) < _BROADCAST_MIN_PAIRS:
+        return snap
+    if _BCAST_CACHE is not None and _BCAST_CACHE[0] is snap:
+        return _BCAST_CACHE[1]
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        if sess is None:
+            return snap
+        handle = sess.sparkContext.broadcast(list(snap))
+    except Exception:
+        return snap
+    _BCAST_CACHE = (snap, handle)
+    return handle
+
+
+def _ensure_worker_merges(snapshot) -> None:
     """Executor-side sync: align this python worker's merges table with
     the driver-side snapshot captured at plan-build time (covers both
-    install and revert; no-op when already aligned)."""
+    install and revert; no-op when already aligned).  Accepts the raw
+    list, None, or a Broadcast handle (large tables)."""
+    try:
+        from pyspark.broadcast import Broadcast
+        if isinstance(snapshot, Broadcast):
+            snapshot = [tuple(p) for p in snapshot.value]
+    except ImportError:
+        pass
     if snapshot != _CUSTOM_MERGES:
         set_merges(snapshot)
 
@@ -255,7 +296,7 @@ def bpe_token_count_udf() -> Column:
     text column).  Captures the currently-installed merges table so
     executors tokenize with the same vocabulary as the driver."""
     import pandas as pd
-    snapshot = _CUSTOM_MERGES
+    snapshot = _capture_snapshot()
 
     def _count(s):
         _ensure_worker_merges(snapshot)
@@ -296,7 +337,7 @@ def bpe_chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
 
     sel = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                       F.col(text_col).alias("_text"))
-    snapshot = _CUSTOM_MERGES
+    snapshot = _capture_snapshot()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _ensure_worker_merges(snapshot)

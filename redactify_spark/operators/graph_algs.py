@@ -401,3 +401,115 @@ def bounded_reachability(edges: DataFrame, seeds: list, max_hops: int,
         visited = visited.localCheckpoint(eager=False)
         frontier = nxt
     return visited.select("node", F.col("depth").cast("int").alias("depth"))
+
+
+def two_hop_pair_counts(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        max_mid_degree: int = MAX_COOC_GROUP) -> DataFrame:
+    """(a, c, n_paths): distinct node pairs a < c connected by at least
+    one length-2 path in the undirected graph, with path multiplicity
+    (= number of common neighbors).  The KG neighborhood-expansion
+    primitive: entities two mentions apart ("people who co-occur with
+    the same org"), link-prediction candidate pairs, related-entity
+    panels.
+
+    Scale shape: the wedge expansion through a mid-node of degree d is
+    C(d,2) pairs, so a 10^6-degree hub yields 10^12 wedges.  Mid-nodes
+    above `max_mid_degree` are EXCLUDED from the expansion (count them
+    via two_hop_dropped_mid_count -- no silent caps); endpoints are
+    never dropped.  One shuffle join on the mid key + one combinable
+    groupBy -- the same plan family as triangle_counts."""
+    sym = symmetrize(edges, src, dst)
+    deg = sym.groupBy("src").agg(F.count("*").alias("_d"))
+    keep = deg.where(F.col("_d") <= max_mid_degree).select("src")
+    mid = sym.join(keep, "src", "left_semi")
+    left = mid.select(F.col("src").alias("_m"), F.col("dst").alias("a"))
+    right = mid.select(F.col("src").alias("_m"), F.col("dst").alias("c"))
+    return (left.join(right, "_m")
+            .where(F.col("a") < F.col("c"))
+            .groupBy("a", "c")
+            .agg(F.count("*").cast("long").alias("n_paths")))
+
+
+def two_hop_dropped_mid_count(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_mid_degree: int = MAX_COOC_GROUP) -> int:
+    """Metric: mid-nodes excluded from the wedge expansion by the
+    degree cap (no silent caps)."""
+    sym = symmetrize(edges, src, dst)
+    return (sym.groupBy("src").agg(F.count("*").alias("_d"))
+            .where(F.col("_d") > max_mid_degree).count())
+
+
+def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     max_mid_degree: int = MAX_COOC_GROUP) -> DataFrame:
+    """(a, b, n_common, deg_a, deg_b, jaccard): structural node-pair
+    similarity by common-neighborhood Jaccard,
+    |N(a) & N(b)| / |N(a) | N(b)| -- the KG entity-similarity signal
+    that needs no embeddings (candidate generation for alias merging,
+    role-similarity panels).  Only pairs sharing >= 1 neighbor are
+    emitted (the wedge expansion IS the candidate generation -- never
+    all-pairs).
+
+    Degrees in the denominator are TRUE degrees; the `max_mid_degree`
+    cap (shared with two_hop_pair_counts) bounds only which common
+    neighbors can act as wedge centers, so on a graph with a capped
+    supernode the common count is a documented lower bound -- measure
+    with two_hop_dropped_mid_count."""
+    common = (two_hop_pair_counts(edges, src, dst, max_mid_degree)
+              .withColumnRenamed("c", "b")
+              .withColumnRenamed("n_paths", "n_common"))
+    deg = (symmetrize(edges, src, dst)
+           .groupBy(F.col("src").alias("_n"))
+           .agg(F.count("*").cast("long").alias("_deg")))
+    return (common
+            .join(deg.select(F.col("_n").alias("a"),
+                             F.col("_deg").alias("deg_a")), "a")
+            .join(deg.select(F.col("_n").alias("b"),
+                             F.col("_deg").alias("deg_b")), "b")
+            .select("a", "b", "n_common", "deg_a", "deg_b",
+                    (F.col("n_common")
+                     / (F.col("deg_a") + F.col("deg_b")
+                        - F.col("n_common"))).alias("jaccard")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iterations: int = 5,
+                      checkpoint_every: int = 2,
+                      reliable_checkpoint: bool = False) -> DataFrame:
+    """(node, label): community detection by SYNCHRONOUS label
+    propagation with a deterministic tie-break.  label_0(v) = v; each
+    round every node adopts the most frequent label among its
+    neighbors' previous-round labels, ties resolved to the SMALLEST
+    label (so the result is a pure function of the graph -- no RNG, no
+    visit order).  Fixed iteration count keeps it oracle-unrollable
+    (q109) exactly like pagerank/q57; convergence-stopping is a trivial
+    wrapper.
+
+    Each round is ONE shuffle join (labels x edges on the neighbor key)
+    plus one map-side-combinable count and one argmax agg -- the same
+    per-round cost as a pagerank iteration, and head-entity safe for
+    the same reason (a 10^8-degree node's label counts combine
+    map-side).  Lineage cut every `checkpoint_every` rounds."""
+    def cut(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if reliable_checkpoint
+                else df.localCheckpoint(eager=False))
+
+    sym = cut(symmetrize(edges, src, dst))
+    labels = (sym.select(F.col("src").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("label")))
+    for it in range(iterations):
+        neigh = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src"), F.col("label"))
+                 .agg(F.count("*").alias("_cnt")))
+        # argmax(count) with min-label tiebreak as a single combinable
+        # agg: min over (-count, label) structs
+        best = (neigh.groupBy("src")
+                .agg(F.min(F.struct((-F.col("_cnt")).alias("_nc"),
+                                    F.col("label"))).alias("_b")))
+        labels = best.select(F.col("src").alias("node"),
+                             F.col("_b.label").alias("label"))
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            labels = cut(labels)
+    return labels

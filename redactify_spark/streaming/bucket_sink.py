@@ -32,8 +32,12 @@ nothing.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def ensure_bucketed_sink_table(spark: SparkSession, like_df: DataFrame,
@@ -64,14 +68,21 @@ def stream_into_bucketed_table(stream_df: DataFrame, table: str, key: str,
     # so `spark.table(table)` works even when the source has no data on
     # first start (availableNow over an empty dir never invokes
     # foreachBatch).  A transform that cannot evaluate an empty batch
-    # falls back to the old lazy first-batch creation.
+    # falls back to the old lazy first-batch creation -- but the
+    # swallowed exception is LOGGED (ADVICE r5): a transform that is
+    # genuinely broken (not merely empty-batch-intolerant) should be
+    # diagnosable before the first real micro-batch arrives.
     session = stream_df.sparkSession
     try:
         probe = session.createDataFrame([], stream_df.schema)
         out0 = transform(probe) if transform is not None else probe
         ensure_bucketed_sink_table(session, out0, table, key, n_buckets)
-    except Exception:
-        pass
+    except Exception as exc:
+        _log.warning(
+            "bucketed sink %s: eager schema probe failed (%s: %s); "
+            "falling back to lazy first-batch table creation -- if the "
+            "transform is broken this surfaces again at batch 0",
+            table, type(exc).__name__, exc)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch executes on a CLONED session with an isolated

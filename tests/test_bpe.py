@@ -249,3 +249,45 @@ def test_budget_pack_bpe_refuses_to_overwrite_token_col(spark):
     out = token_budget_pack(df, budget=100, tokenizer="bpe",
                             token_col="n_tokens_bpe")
     assert out.count() == 1 and "n_tokens_bpe" in out.columns
+
+
+def test_large_merges_table_rides_a_memoized_broadcast(spark):
+    """ADVICE r5 (closure-weight item): a GPT-2-size merges table must
+    NOT be re-pickled into every plan's closure.  At or above
+    _BROADCAST_MIN_PAIRS the capture helper returns a Spark Broadcast,
+    memoized per installed table (N plans -> one broadcast); executors
+    resolve it to the same vocabulary (counts match driver-side
+    tokenization under the same table).  Small tables keep the direct
+    closure path."""
+    from pyspark.broadcast import Broadcast
+
+    # small (vendored) table: raw value, no broadcast machinery
+    bpe.reset_merges()
+    assert not isinstance(bpe._capture_snapshot(), Broadcast)
+
+    big = [(f"x{i}", f"y{i}") for i in range(bpe._BROADCAST_MIN_PAIRS)]
+    bpe.set_merges(big)
+    try:
+        h1 = bpe._capture_snapshot()
+        h2 = bpe._capture_snapshot()
+        assert isinstance(h1, Broadcast)
+        assert h1 is h2, "second plan must reuse the first broadcast"
+
+        texts = [(1, "the thing"), (2, "reading and counting 42")]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        got = {r.doc_id: r.n_tokens_bpe
+               for r in bpe.with_bpe_token_counts(df).collect()}
+        want = {i: len(bpe.bpe_tokens(t)) for i, t in texts}
+        assert got == want
+
+        # a NEW table of the same size mints a NEW broadcast
+        big2 = big[:-1] + [("zz", "qq")]
+        bpe.set_merges(big2)
+        h3 = bpe._capture_snapshot()
+        assert isinstance(h3, Broadcast) and h3 is not h1
+        got2 = {r.doc_id: r.n_tokens_bpe
+                for r in bpe.with_bpe_token_counts(df).collect()}
+        assert got2 == {i: len(bpe.bpe_tokens(t)) for i, t in texts}
+    finally:
+        bpe.reset_merges()
+    assert not isinstance(bpe._capture_snapshot(), Broadcast)

@@ -259,3 +259,153 @@ def test_bounded_reachability_matches_brute_force_random(spark):
                for r in G.bounded_reachability(
                    _edges(spark, pairs), seeds, hops).collect()}
         assert got == depth, trial
+
+
+# ---------------------------------------------------------------------------
+# two-hop expansion / neighbor Jaccard / label propagation (r5)
+# ---------------------------------------------------------------------------
+
+def _brute_two_hop(pairs, cap=10**9):
+    """Pure-Python wedge expansion with the mid-degree cap."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for m, nbrs in adj.items():
+        if len(nbrs) > cap:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_two_hop_path_graph(spark):
+    """Path 1-2-3-4: exactly the distance-2 pairs, multiplicity 1."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {(r.a, r.c): r.n_paths
+           for r in G.two_hop_pair_counts(e).collect()}
+    assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_two_hop_multiplicity_counts_common_neighbors(spark):
+    """Square 1-2-3-4-1: opposite corners share TWO length-2 paths."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = {(r.a, r.c): r.n_paths
+           for r in G.two_hop_pair_counts(e).collect()}
+    assert got == {(1, 3): 2, (2, 4): 2}
+
+
+def test_two_hop_mid_degree_cap_excludes_hub(spark):
+    """A hub above the cap is excluded as a wedge CENTER (its star pairs
+    vanish) but keeps acting as an endpoint; the dropped-mid metric
+    reports exactly one excluded node.  This is the head-entity guard:
+    a 10^6-degree hub would otherwise mint 10^12 wedge pairs."""
+    star = [(0, i) for i in range(1, 6)]      # hub 0, degree 5
+    tail = [(1, 100), (100, 101)]             # path hanging off node 1
+    e = _edges(spark, star + tail)
+    capped = {(r.a, r.c): r.n_paths
+              for r in G.two_hop_pair_counts(e, max_mid_degree=4).collect()}
+    # hub excluded as center: no (i, j) leaf pairs; node 1 (degree 2)
+    # still centers wedges 0-1-100; node 100 centers 1-100-101
+    assert capped == {(0, 100): 1, (1, 101): 1}
+    assert G.two_hop_dropped_mid_count(e, max_mid_degree=4) == 1
+    # uncapped agrees with brute force
+    full = {(r.a, r.c): r.n_paths
+            for r in G.two_hop_pair_counts(e).collect()}
+    assert full == _brute_two_hop(star + tail)
+
+
+def test_two_hop_matches_brute_force_random(spark):
+    import random
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 25
+        pairs = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                        for _ in range(40)})
+        pairs = [(a, b) for a, b in pairs if a != b]
+        got = {(r.a, r.c): r.n_paths
+               for r in G.two_hop_pair_counts(_edges(spark, pairs)).collect()}
+        assert got == _brute_two_hop(pairs), trial
+
+
+def test_neighbor_jaccard_golden(spark):
+    """Triangle 1-2-3 plus pendant 3-4: check every emitted pair's
+    common count, true degrees, and Jaccard ratio."""
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    rows = {(r.a, r.b): r for r in G.neighbor_jaccard(e).collect()}
+    # N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    expect = {
+        (1, 2): (1, 2, 2),   # common {3}; |union|=3
+        (1, 3): (1, 2, 3),   # common {2}
+        (2, 3): (1, 2, 3),   # common {1}
+        (1, 4): (1, 2, 1),   # common {3}; N(4)={3} subset
+        (2, 4): (1, 2, 1),
+    }
+    assert set(rows) == set(expect)
+    for k, (nc, da, db) in expect.items():
+        r = rows[k]
+        assert (r.n_common, r.deg_a, r.deg_b) == (nc, da, db), k
+        assert r.jaccard == pytest.approx(nc / (da + db - nc)), k
+
+
+def _brute_lpa(pairs, iterations):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for v in nbrs:
+                cnt[labels[v]] = cnt.get(labels[v], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA converges to one
+    label per clique (the min node id of each side)."""
+    left = [(1, 2), (2, 3), (1, 3)]
+    right = [(10, 11), (11, 12), (10, 12)]
+    pairs = left + right + [(3, 10)]
+    got = {r.node: r.label
+           for r in G.label_propagation(_edges(spark, pairs),
+                                        iterations=5).collect()}
+    assert got == _brute_lpa(pairs, 5)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[11] == got[12]
+
+
+def test_label_propagation_matches_brute_force_random(spark):
+    """Synchronous-update + min-label tiebreak parity on random graphs:
+    the Spark result is a pure function of the graph."""
+    import random
+    rng = random.Random(7)
+    for trial in range(2):
+        n = 20
+        pairs = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                        for _ in range(30)})
+        pairs = [(a, b) for a, b in pairs if a != b]
+        got = {r.node: r.label
+               for r in G.label_propagation(_edges(spark, pairs),
+                                            iterations=4).collect()}
+        assert got == _brute_lpa(pairs, 4), trial
+
+
+def test_label_propagation_deterministic_rerun(spark):
+    """Same graph twice -> byte-identical labeling (no RNG, no visit
+    order)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
+    a = sorted(map(tuple, G.label_propagation(
+        _edges(spark, pairs), iterations=5).collect()))
+    b = sorted(map(tuple, G.label_propagation(
+        _edges(spark, pairs), iterations=5).collect()))
+    assert a == b

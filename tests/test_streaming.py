@@ -461,3 +461,40 @@ def test_bucketed_sink_table_exists_on_empty_source(spark, tmp_path):
     assert out.count() == 0
     assert "subj" in out.columns and "batch_id" in out.columns
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_sink_probe_failure_is_logged(spark, tmp_path, caplog):
+    """ADVICE r5: the eager schema probe keeps its swallow-and-fall-back
+    contract (a merely empty-batch-intolerant transform must not break
+    sink startup), but the swallowed exception is now LOGGED so a
+    genuinely broken transform is diagnosable before data arrives."""
+    import logging
+    import os
+
+    from redactify_spark.streaming import bucket_sink as BS
+
+    table = "stream_bucketed_probe_log_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = str(tmp_path / "pages_probe_log")
+    os.makedirs(src)
+    schema = synth_pages(spark, 1).schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .selectExpr("url", "text"))
+
+    def broken(batch):
+        raise ValueError("transform exploded on schema probe")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="redactify_spark.streaming.bucket_sink"):
+        q = BS.stream_into_bucketed_table(
+            stream, table, "url", str(tmp_path / "ckpt_probe_log"),
+            transform=broken)
+        q.awaitTermination(120)
+        q.stop()
+    msgs = [r.message for r in caplog.records
+            if "eager schema probe failed" in r.message]
+    assert msgs, "probe failure was swallowed silently"
+    assert "ValueError" in msgs[0] and table in msgs[0]
+    # fall-back contract intact: no eager table, and the empty source
+    # never produced a batch to create it lazily either
+    assert not spark.catalog.tableExists(table)
