@@ -1621,6 +1621,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("label").cast("long").alias("label"))
                 .orderBy("node"))
 
+    def q110_host_link_graph(spark, sf):
+        """Weighted host->host link graph from ACTUAL html parsing:
+        synthesize 2000 Common-Crawl-style pages, extract absolute
+        hrefs (Arrow-batched scan, no shuffle), aggregate to host
+        edges (one combinable groupBy, self-host links dropped).  The
+        DuckDB oracle rebuilds the same graph ARITHMETICALLY from the
+        deterministic link model (generate_series), so the whole
+        html-parse path is value-checked end to end -- the langid
+        profile-rebuilding oracle pattern."""
+        from redactify_spark.operators import weblinks as W
+        from redactify_spark.sources.pages import synth_pages
+        links = W.extract_links(synth_pages(spark, 2000, partitions=8))
+        return W.host_graph(links).orderBy("src_host", "dst_host")
+
+    def q111_host_pagerank(spark, sf):
+        """Site-authority ranking: weighted directed PageRank (5
+        rounds, d=0.85, GraphX convention -- rank flows out
+        proportionally to n_links) over the q110 host graph.  Oracle =
+        the same five rounds unrolled as CTEs, the q57 pattern with
+        edge weights."""
+        from redactify_spark.operators import weblinks as W
+        from redactify_spark.sources.pages import synth_pages
+        links = W.extract_links(synth_pages(spark, 2000, partitions=8))
+        pr = W.host_pagerank(W.host_graph(links))
+        return (pr.select("host", F.round("rank", 6).alias("rank"))
+                .orderBy("host"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1744,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_two_hop_paths": q107_two_hop_paths,
         "q108_neighbor_jaccard": q108_neighbor_jaccard,
         "q109_label_propagation": q109_label_propagation,
+        "q110_host_link_graph": q110_host_link_graph,
+        "q111_host_pagerank": q111_host_pagerank,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2615,6 +2644,60 @@ def oracle_sql() -> dict[str, str]:
         {lpa_rounds}
         SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         FROM l5 ORDER BY node
+    """
+
+    # ---- q110/q111: host link graph + host pagerank ------------------------
+    # The oracle rebuilds the link graph ARITHMETICALLY from the
+    # deterministic outlink model in sources/pages.py (link_targets:
+    # (i*31 + 7j) % LINK_SPACE, host = site{id % 64}.example), while the
+    # Spark side parses the actual html bytes -- same pattern as the
+    # q104 profile-rebuilding langid oracle.
+    from redactify_spark.sources.pages import (LINK_SPACE, LINKS_PER_PAGE,
+                                               _N_SITES)
+    _n_q110 = 2000
+    hostg_ctes = f"""
+        ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {_n_q110})),
+        js AS (SELECT CAST(range AS BIGINT) AS j
+               FROM range(1, {LINKS_PER_PAGE + 1})),
+        links AS (SELECT i, (i * 31 + 7 * j) % {LINK_SPACE} AS t
+                  FROM ids CROSS JOIN js),
+        hostg AS (SELECT 'site' || CAST(i % {_N_SITES} AS VARCHAR)
+                             || '.example' AS src_host,
+                         'site' || CAST(t % {_N_SITES} AS VARCHAR)
+                             || '.example' AS dst_host,
+                         count(*) AS n_links
+                  FROM links
+                  WHERE i % {_N_SITES} <> t % {_N_SITES}
+                  GROUP BY 1, 2)
+    """
+    sql["q110_host_link_graph"] = f"""
+        WITH {hostg_ctes}
+        SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links
+        FROM hostg ORDER BY src_host, dst_host
+    """
+
+    hpr_rounds = ""
+    for i in range(1, 6):
+        hpr_rounds += f""",
+        h{i} AS (SELECT n.host,
+                        0.15 + 0.85 * coalesce(s.x, 0.0) AS r
+                 FROM hnodes n LEFT JOIN (
+                     SELECT e.dst_host AS host,
+                            sum(h{i-1}.r * e.n_links / ws.w) AS x
+                     FROM hostg e
+                     JOIN wsum ws ON ws.src_host = e.src_host
+                     JOIN h{i-1} ON h{i-1}.host = e.src_host
+                     GROUP BY e.dst_host) s ON s.host = n.host)"""
+    sql["q111_host_pagerank"] = f"""
+        WITH {hostg_ctes},
+        hnodes AS (SELECT DISTINCT src_host AS host FROM hostg
+                   UNION
+                   SELECT DISTINCT dst_host FROM hostg),
+        wsum AS (SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS w
+                 FROM hostg GROUP BY src_host),
+        h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS r FROM hnodes)
+        {hpr_rounds}
+        SELECT host, round(r, 6) AS rank FROM h5 ORDER BY host
     """
 
     sql["q58_triangles"] = f"""

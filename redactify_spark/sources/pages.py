@@ -86,14 +86,37 @@ def synth_text(doc_id: int, filler: str = "") -> str:
     return " ".join(parts)
 
 
-def render_html(text: str, url: str) -> bytes:
-    """Deterministic HTML wrapper with boilerplate nav/footer."""
+# Deterministic outlink model (the web-graph half of a Common-Crawl
+# page: every page carries LINKS_PER_PAGE absolute hrefs).  Targets are
+# a pure function of doc_id over a FIXED id space, so (a) the same
+# doc_id renders the same html bytes regardless of corpus size or
+# tranche, and (b) a SQL oracle can rebuild the whole link graph
+# arithmetically (generate_series) while Spark parses the actual html
+# -- the langid profile-rebuilding oracle pattern.  Targets may exceed
+# the crawled corpus (dangling links), exactly like the real web.
+LINK_SPACE = 4096
+LINKS_PER_PAGE = 3
+
+
+def link_targets(doc_id: int) -> list[int]:
+    """Outlink target doc-ids for a page: (id*31 + 7j) mod LINK_SPACE,
+    j = 1..LINKS_PER_PAGE.  Distinct per page (7j distinct mod 4096)."""
+    return [(doc_id * 31 + 7 * j) % LINK_SPACE
+            for j in range(1, LINKS_PER_PAGE + 1)]
+
+
+def render_html(text: str, url: str, link_urls: tuple = ()) -> bytes:
+    """Deterministic HTML wrapper with boilerplate nav/footer and an
+    optional outlink section (absolute hrefs; the nav's relative hrefs
+    are boilerplate that link extraction must skip)."""
     body = _html.escape(text, quote=False)
+    refs = "".join(f"<li><a href=\"{u}\">ref</a></li>" for u in link_urls)
     page = (
         "<html><head><title>page</title></head><body>"
         "<nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav>"
         f"<article><p>{body}</p></article>"
-        f"<footer>crawled from {_html.escape(url, quote=False)}</footer>"
+        + (f"<section id=\"refs\"><ul>{refs}</ul></section>" if refs else "")
+        + f"<footer>crawled from {_html.escape(url, quote=False)}</footer>"
         "</body></html>"
     )
     return page.encode("utf-8")
@@ -154,7 +177,9 @@ def synth_pages(spark: SparkSession, n_docs: int,
                 url = page_url(int(doc_id))
                 rows["url"].append(url)
                 rows["warc_ts"].append(_BASE_TS + timedelta(seconds=17 * int(doc_id)))
-                rows["html"].append(render_html(text, url))
+                links = tuple(page_url(t)
+                              for t in link_targets(int(doc_id)))
+                rows["html"].append(render_html(text, url, links))
                 rows["text"].append(text)
                 rows["lang"].append(page_lang(int(doc_id)))
             yield pd.DataFrame(rows)

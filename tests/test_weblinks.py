@@ -1,0 +1,106 @@
+"""Web-link graph: href extraction -> host graph -> host PageRank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redactify_spark.operators import weblinks as W
+from redactify_spark.sources import pages as P
+
+
+def test_extract_page_links_pure():
+    """Absolute hrefs only, in document order; nav/footer boilerplate
+    (relative hrefs) skipped."""
+    links = ("https://site1.example/aaa", "https://site2.example/bbb")
+    html = P.render_html("hello world", "https://me.example/x", links)
+    assert W.extract_page_links(html) == list(links)
+    assert W.extract_page_links(P.render_html("t", "u")) == []
+
+
+def test_links_preserve_text_invariant():
+    """The outlink section must not disturb the byte-identical
+    html->text invariant (BASELINE input_hint)."""
+    for i in (0, 7, 63, 999):
+        text = P.synth_text(i)
+        links = tuple(P.page_url(t) for t in P.link_targets(i))
+        assert P.extract_text(
+            P.render_html(text, P.page_url(i), links)) == text
+
+
+def test_link_targets_deterministic_and_distinct():
+    """Targets are a pure function of doc_id alone (same html bytes for
+    the same id regardless of corpus size/tranche) and distinct."""
+    for i in (0, 1, 500, 4095, 9000):
+        t = P.link_targets(i)
+        assert t == P.link_targets(i)
+        assert len(set(t)) == P.LINKS_PER_PAGE
+        assert all(0 <= x < P.LINK_SPACE for x in t)
+
+
+def test_extract_links_matches_arithmetic(spark):
+    """The Spark stage parses ACTUAL html; the result must equal the
+    arithmetic link model (the q110 oracle premise)."""
+    n = 150
+    got = sorted((r.src, r.dst)
+                 for r in W.extract_links(
+                     P.synth_pages(spark, n, partitions=4)).collect())
+    want = sorted((P.page_url(i), P.page_url(t))
+                  for i in range(n) for t in P.link_targets(i))
+    assert got == want
+
+
+def test_host_graph_weights_and_self_loops(spark):
+    df = spark.createDataFrame(
+        [("https://a.example/1", "https://b.example/x"),
+         ("https://a.example/2", "https://b.example/y"),
+         ("https://a.example/3", "https://a.example/zz"),   # self-host
+         ("https://b.example/1", "https://c.example:8080/q"),
+         ("not a url", "https://c.example/q")],              # bad src
+        ["src", "dst"])
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in W.host_graph(df).collect()}
+    assert got == {("a.example", "b.example"): 2,
+                   ("b.example", "c.example:8080"): 1}
+    kept = {(r.src_host, r.dst_host): r.n_links
+            for r in W.host_graph(df, keep_self_loops=True).collect()}
+    assert kept[("a.example", "a.example")] == 1
+
+
+def _numpy_weighted_pagerank(edges, iterations=5, d=0.85):
+    """(src, dst, w) directed weighted PageRank, GraphX convention."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    wsum = {}
+    for u, _, w in edges:
+        wsum[u] = wsum.get(u, 0.0) + w
+    r = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        acc = {n: 0.0 for n in nodes}
+        for u, v, w in edges:
+            acc[v] += r[u] * w / wsum[u]
+        r = {n: (1 - d) + d * acc[n] for n in nodes}
+    return r
+
+
+def test_host_pagerank_matches_reference(spark):
+    """Weighted directed PageRank parity vs a pure-Python re-derivation
+    (dangling host c holds the base term)."""
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("b", "c", 2)]
+    df = spark.createDataFrame(edges,
+                               ["src_host", "dst_host", "n_links"])
+    want = _numpy_weighted_pagerank(edges)
+    got = {r.host: r.rank for r in W.host_pagerank(df).collect()}
+    assert set(got) == set(want)
+    for h, v in want.items():
+        assert got[h] == pytest.approx(v, abs=1e-12), h
+
+
+def test_dangling_links_flow_into_host_graph(spark):
+    """Link targets beyond the crawled corpus (the web norm) still
+    contribute host edges: every extracted dst is a well-formed URL in
+    LINK_SPACE, whether or not the target page was crawled."""
+    n = 40  # << LINK_SPACE, so most targets are dangling
+    links = W.extract_links(P.synth_pages(spark, n, partitions=2))
+    bad = links.where(~F.col("dst").rlike(r"^https://site\d+\.example/"))
+    assert bad.count() == 0
+    hosts = W.host_graph(links)
+    assert hosts.count() > 0
+    assert hosts.groupBy().sum("n_links").collect()[0][0] <= n * P.LINKS_PER_PAGE
