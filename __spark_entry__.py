@@ -1648,6 +1648,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pr.select("host", F.round("rank", 6).alias("rank"))
                 .orderBy("host"))
 
+    def q112_redirect_resolution(spark, sf):
+        """URL canonicalization: resolve redirect chains to terminal
+        targets by pointer doubling (O(log chain) self-join rounds),
+        with redirect-loop detection (cyclic -> NULL final/hops).
+        Input: a deterministic functional graph -- chains of length
+        0..9 into multiples of 10, plus one 3-cycle.  Oracle = the
+        step-by-step walk as a recursive CTE with the same loop
+        budget."""
+        from redactify_spark.operators import weblinks as W
+        n = 5000
+        chains = (spark.range(n).where(F.col("id") % 10 != 0)
+                  .select(F.col("id").alias("src"),
+                          (F.col("id") - 1).alias("dst")))
+        cyc = spark.createDataFrame(
+            [(n, n + 1), (n + 1, n + 2), (n + 2, n)], "src long, dst long")
+        out = W.resolve_redirects(chains.unionByName(cyc))
+        return (out.select(F.col("node").cast("long").alias("node"),
+                           F.col("final").cast("long").alias("final"),
+                           F.col("hops").cast("long").alias("hops"),
+                           "cyclic")
+                .orderBy("node"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1773,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_label_propagation": q109_label_propagation,
         "q110_host_link_graph": q110_host_link_graph,
         "q111_host_pagerank": q111_host_pagerank,
+        "q112_redirect_resolution": q112_redirect_resolution,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2698,6 +2721,49 @@ def oracle_sql() -> dict[str, str]:
         h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS r FROM hnodes)
         {hpr_rounds}
         SELECT host, round(r, 6) AS rank FROM h5 ORDER BY host
+    """
+
+    # ---- q112: redirect-chain resolution --------------------------------
+    # Oracle is the step-by-step walk as a recursive CTE: every node
+    # walks its chain until it leaves the redirect map or exhausts the
+    # 64-step loop budget; the deepest row per node is the verdict
+    # (budget exhausted <=> redirect loop).  Spark does the same thing
+    # in O(log) pointer-doubling rounds -- the oracle checks the
+    # semantics, not the algorithm.
+    sql["q112_redirect_resolution"] = """
+        WITH RECURSIVE
+        rmap AS (
+            SELECT CAST(range AS BIGINT) AS x,
+                   CAST(range - 1 AS BIGINT) AS nxt
+            FROM range(0, 5000) WHERE range % 10 <> 0
+            UNION ALL
+            SELECT CAST(x AS BIGINT), CAST(nxt AS BIGINT)
+            FROM (VALUES (5000, 5001), (5001, 5002), (5002, 5000))
+                 AS v(x, nxt)
+        ),
+        nodes AS (SELECT DISTINCT node FROM (
+                      SELECT x AS node FROM rmap
+                      UNION SELECT nxt FROM rmap)),
+        walk AS (
+            SELECT node, node AS cur, 0 AS hops FROM nodes
+            UNION ALL
+            SELECT w.node, r.nxt, w.hops + 1
+            FROM walk w JOIN rmap r ON r.x = w.cur
+            WHERE w.hops < 64
+        ),
+        deepest AS (
+            SELECT node, cur, hops,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY hops DESC) AS rn
+            FROM walk
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CASE WHEN hops >= 64 THEN NULL
+                    ELSE CAST(cur AS BIGINT) END AS final,
+               CASE WHEN hops >= 64 THEN NULL
+                    ELSE CAST(hops AS BIGINT) END AS hops,
+               hops >= 64 AS cyclic
+        FROM deepest WHERE rn = 1 ORDER BY node
     """
 
     sql["q58_triangles"] = f"""

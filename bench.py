@@ -562,7 +562,11 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
              "q30_detect_mentions", "q31_triples", "q36_minhash_dedup",
              "q38_ann_topk", "q54_minhash_native", "q57_pagerank",
              # round-3 additions (additive: earlier keys stay comparable)
-             "q80_bm25", "q96_association_rules", "q99_zorder_key"]
+             "q80_bm25", "q96_association_rules", "q99_zorder_key",
+             # round-5 additions: langid (post O(len^2) fix), graph
+             # neighborhood family, web-link graph from real html
+             "q104_langid_ngram", "q109_label_propagation",
+             "q110_host_link_graph"]
     out, spread = {}, {}
     for name in picks:
         walls = []
@@ -712,6 +716,58 @@ def main():
             "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
             "queries": {},
             "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}}, mode="corpus_scaling")
+        return
+
+    if "--weblinks-scaling" in sys.argv:
+        # Web-link-graph scaling: synth html -> href extraction -> host
+        # graph -> weighted host PageRank, the SAME job at two
+        # uncontended parallelism levels on identical input
+        # (WEBLINKS_PAGES, default 10^6).  The dominant stage
+        # (synth+extract, one fused Arrow scan, no shuffle) is the shape
+        # that must scale; host-graph outputs are checksummed across
+        # levels (identical-output evidence, same bar as the KG DAG).
+        from pyspark.sql import functions as F
+        from redactify_spark.operators import weblinks as W
+        from redactify_spark.plans.session import build_session
+        from redactify_spark.sources.pages import synth_pages
+        n_pages = int(os.environ.get("WEBLINKS_PAGES", "1000000"))
+        lo = int(os.environ.get("SCALING_LO", "2"))
+        hi = int(os.environ.get("SCALING_HI", "8"))
+        out = {}
+        for cpus in (lo, hi):
+            spark = build_session(f"bench-weblinks-{cpus}",
+                                  master=f"local[{cpus}]",
+                                  shuffle_partitions=cpus)
+            t0 = time.time()
+            links = W.extract_links(
+                synth_pages(spark, n_pages, partitions=cpus * 4))
+            hosts = W.host_graph(links).localCheckpoint()
+            n_edges = hosts.count()
+            pr = W.host_pagerank(hosts)
+            sig = (hosts.agg(
+                F.bit_xor(F.xxhash64("src_host", "dst_host", "n_links")))
+                .collect()[0][0])
+            pr_sig = (pr.select("host", F.round("rank", 6).alias("r"))
+                      .agg(F.bit_xor(F.xxhash64("host", "r")))
+                      .collect()[0][0])
+            wall = time.time() - t0
+            out[cpus] = {"sec": round(wall, 1), "n_host_edges": n_edges,
+                         "pages_per_sec": round(n_pages / wall, 1),
+                         "hosts_sig": sig, "pagerank_sig": pr_sig}
+            spark.stop()
+        eff = out[hi]["pages_per_sec"] / ((hi / lo)
+                                          * out[lo]["pages_per_sec"])
+        emit({
+            "metric": f"weblinks_scaling_efficiency_{lo}_to_{hi}",
+            "value": round(eff, 3), "unit": "ratio", "sf": SF_DIR,
+            "queries": {},
+            "detail": {
+                "n_pages": n_pages,
+                f"local[{lo}]": out[lo], f"local[{hi}]": out[hi],
+                "outputs_identical":
+                    out[lo]["hosts_sig"] == out[hi]["hosts_sig"]
+                    and out[lo]["pagerank_sig"] == out[hi]["pagerank_sig"],
+            }}, mode="weblinks_scaling")
         return
 
     if "--scaling" in sys.argv:

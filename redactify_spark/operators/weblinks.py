@@ -103,3 +103,64 @@ def host_pagerank(hosts: DataFrame, iterations: int = 5,
                        weight="n_links", iterations=iterations,
                        damping=damping, **kw)
             .withColumnRenamed("node", "host"))
+
+
+def resolve_redirects(redirects: DataFrame, src: str = "src",
+                      dst: str = "dst", max_doubling: int = 16,
+                      reliable_checkpoint: bool = False) -> DataFrame:
+    """(node, final, hops, cyclic): resolve every node's redirect chain
+    to its terminal target -- URL canonicalization for crawl dedup
+    (two urls are the same page iff their chains end at the same
+    terminal).  `redirects` is a functional src->dst map (duplicate
+    srcs are collapsed to the min dst for determinism); output covers
+    every node on either side.  Chains ending in a redirect LOOP get
+    cyclic=true with NULL final/hops (the standard crawl error class).
+
+    Pointer doubling, not step-by-step walking: each round composes the
+    jump table with itself (j'(x) = j(j(x)), hop counts added), so a
+    length-L chain resolves in ceil(log2 L) rounds -- 10^6-long chains
+    in 20 rounds, each ONE self-join shuffle on the jump key.  Rounds
+    stop early when no row moves; a cycle never converges, so cyclic
+    inputs run all `max_doubling` rounds (2^max_doubling caps the
+    resolvable chain length).  Lineage cut per round, same policy as
+    connected_components."""
+    def cut(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if reliable_checkpoint
+                else df.localCheckpoint(eager=False))
+
+    m = (redirects.groupBy(F.col(src).alias("_x"))
+         .agg(F.min(F.col(dst)).alias("_nxt")))
+    m = cut(m)
+    nodes = (m.select(F.col("_x").alias("node"))
+             .unionByName(m.select(F.col("_nxt").alias("node")))
+             .distinct())
+    jump = (nodes.join(m, nodes["node"] == m["_x"], "left")
+            .select("node",
+                    F.coalesce("_nxt", "node").alias("cur"),
+                    F.when(F.col("_nxt").isNull(), F.lit(0))
+                    .otherwise(F.lit(1)).cast("long").alias("steps")))
+    jump = cut(jump)
+    for _ in range(max_doubling):
+        j2 = jump.select(F.col("node").alias("_n2"),
+                         F.col("cur").alias("_c2"),
+                         F.col("steps").alias("_s2"))
+        nxt = (jump.join(j2, jump["cur"] == j2["_n2"])
+               .select("node", F.col("_c2").alias("cur"),
+                       (F.col("steps") + F.col("_s2")).alias("steps"),
+                       (F.col("cur") != F.col("_c2")).alias("_moved")))
+        nxt = cut(nxt)
+        moved = nxt.where("_moved").count()
+        jump = nxt.drop("_moved")
+        if moved == 0:
+            break
+    # a resolved chain ends at a node with no outgoing redirect; a chain
+    # still pointing at a redirecting node after the doubling budget is
+    # in (or feeds) a loop
+    still = m.select(F.col("_x").alias("cur"), F.lit(True).alias("_redir"))
+    return (jump.join(still, "cur", "left")
+            .select("node",
+                    F.when(F.col("_redir").isNull(), F.col("cur"))
+                    .alias("final"),
+                    F.when(F.col("_redir").isNull(), F.col("steps"))
+                    .cast("long").alias("hops"),
+                    F.coalesce("_redir", F.lit(False)).alias("cyclic")))

@@ -104,3 +104,81 @@ def test_dangling_links_flow_into_host_graph(spark):
     hosts = W.host_graph(links)
     assert hosts.count() > 0
     assert hosts.groupBy().sum("n_links").collect()[0][0] <= n * P.LINKS_PER_PAGE
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (URL canonicalization)
+# ---------------------------------------------------------------------------
+
+def _brute_resolve(pairs, limit=100):
+    """Step-by-step walker: (final, hops) or (None, None) for loops."""
+    m = {}
+    for a, b in pairs:
+        m[a] = min(b, m[a]) if a in m else b
+    out = {}
+    for n in sorted({x for p in pairs for x in p}):
+        cur, hops = n, 0
+        while cur in m and hops < limit:
+            cur = m[cur]
+            hops += 1
+        out[n] = (None, None, True) if cur in m else (cur, hops, False)
+    return out
+
+
+def test_resolve_redirects_chains_and_terminals(spark):
+    """Chain 1->2->3->4 (terminal 4) + isolated terminal via dst-only."""
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    got = {r.node: (r.final, r.hops, r.cyclic)
+           for r in W.resolve_redirects(df).collect()}
+    assert got == {1: (4, 3, False), 2: (4, 2, False),
+                   3: (4, 1, False), 4: (4, 0, False)}
+
+
+def test_resolve_redirects_cycle_and_tail(spark):
+    """3-cycle plus a tail feeding it: every involved node is cyclic
+    with NULL final/hops; the untouched chain still resolves."""
+    df = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 10), (9, 10), (1, 2)], ["src", "dst"])
+    got = {r.node: (r.final, r.hops, r.cyclic)
+           for r in W.resolve_redirects(df).collect()}
+    for n in (9, 10, 11, 12):
+        assert got[n] == (None, None, True), n
+    assert got[1] == (2, 1, False) and got[2] == (2, 0, False)
+
+
+def test_resolve_redirects_self_loop_and_dup_src(spark):
+    """Self-redirect is a 1-cycle; duplicate srcs collapse to min dst."""
+    df = spark.createDataFrame([(5, 5), (1, 3), (1, 2)], ["src", "dst"])
+    got = {r.node: (r.final, r.hops, r.cyclic)
+           for r in W.resolve_redirects(df).collect()}
+    assert got[5] == (None, None, True)
+    assert got[1] == (2, 1, False)      # min dst wins
+    assert got[2] == (2, 0, False)
+
+
+def test_resolve_redirects_matches_brute_force_random(spark):
+    """Pointer doubling == step-by-step walking on random functional
+    graphs (chains, trees into terminals, cycles, tails into cycles)."""
+    import random
+    rng = random.Random(31)
+    for trial in range(3):
+        n = 40
+        pairs = [(i, rng.randrange(n))
+                 for i in range(n) if rng.random() < 0.8]
+        got = {r.node: (r.final, r.hops, r.cyclic)
+               for r in W.resolve_redirects(
+                   spark.createDataFrame(pairs, "src long, dst long"))
+               .collect()}
+        assert got == _brute_resolve(pairs), trial
+
+
+def test_resolve_redirects_long_chain_log_rounds(spark):
+    """A length-500 chain resolves within the default doubling budget
+    (2^16 >> 500) with exact hop counts."""
+    pairs = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: (r.final, r.hops)
+           for r in W.resolve_redirects(df).collect()}
+    assert got[0] == (500, 500)
+    assert got[250] == (500, 250)
+    assert got[500] == (500, 0)
