@@ -1670,6 +1670,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "cyclic")
                 .orderBy("node"))
 
+    def q113_crawl_delta(spark, sf):
+        """Recrawl snapshot diff: classify every url across two crawl
+        snapshots as unchanged / touched (simhash hamming <= 3) /
+        modified / added / removed, from 40-byte md5+simhash signature
+        rows (text never crosses the shuffle).  Snapshots are carved
+        deterministically from `documents`: %17==5 absent from OLD
+        (-> added), %17==3 absent from NEW (-> removed), %17==11 gets
+        trailing whitespace (digest changes, tokens don't -> touched,
+        hamming 0), %17==13 is replaced with md5-hex filler (->
+        modified), %17==7 gains one sentence (touched or modified by
+        measured hamming -- identical arithmetic both engines)."""
+        from redactify_spark.operators.urls import crawl_delta
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        old = docs.where(F.col("doc_id") % 17 != 5)
+        new = (docs.where(F.col("doc_id") % 17 != 3)
+               .withColumn("text",
+                           F.when(F.col("doc_id") % 17 == 7,
+                                  F.concat("text",
+                                           F.lit(" breaking update qqz")))
+                           .when(F.col("doc_id") % 17 == 11,
+                                 F.concat("text", F.lit("  ")))
+                           .when(F.col("doc_id") % 17 == 13,
+                                 F.concat(F.md5("text"), F.lit(" "),
+                                          F.md5(F.md5("text"))))
+                           .otherwise(F.col("text"))))
+        out = crawl_delta(old, new, url_col="doc_id")
+        return (out.select(F.col("url").cast("long").alias("doc_id"),
+                           "status", "hamming")
+                .orderBy("doc_id"))
+
     def q103_exact_substring_spans(spark, sf):
         """Exact-substring dedup (Lee et al. 2022), the dedup itself
         rather than the q69 signal: every 8-token window repeated
@@ -1796,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_host_link_graph": q110_host_link_graph,
         "q111_host_pagerank": q111_host_pagerank,
         "q112_redirect_resolution": q112_redirect_resolution,
+        "q113_crawl_delta": q113_crawl_delta,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2764,6 +2795,59 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(hops AS BIGINT) END AS hops,
                hops >= 64 AS cyclic
         FROM deepest WHERE rn = 1 ORDER BY node
+    """
+
+    # ---- q113: crawl-delta classification --------------------------------
+    # Mirrors crawl_delta end to end: both snapshots carved from
+    # `documents` with the same deterministic perturbations, md5 digest
+    # + native-simhash signature per side (reusing q43's bit_terms
+    # fold), full-outer join, identical status arithmetic.
+    def _sig_cte(side: str) -> str:
+        return f"""
+        {side}_h AS (
+            SELECT url, md5(text) AS digest,
+                   list_transform(
+                       CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                            ELSE str_split(norm, ' ') END,
+                       t -> CAST('0x' || substr(md5(t), 1, 15)
+                                 AS BIGINT)) AS h
+            FROM (SELECT url, text,
+                         trim(regexp_replace(lower(text),
+                                             '[^a-z0-9]+', ' ', 'g')) AS norm
+                  FROM {side}_snap)),
+        {side}_sig AS (SELECT url, digest, ({bit_terms}) AS simhash
+                       FROM {side}_h)"""
+
+    sql["q113_crawl_delta"] = f"""
+        WITH
+        old_snap AS (SELECT doc_id AS url, text FROM documents
+                     WHERE doc_id % 17 <> 5),
+        new_snap AS (
+            SELECT doc_id AS url,
+                   CASE WHEN doc_id % 17 = 7
+                            THEN text || ' breaking update qqz'
+                        WHEN doc_id % 17 = 11 THEN text || '  '
+                        WHEN doc_id % 17 = 13
+                            THEN md5(text) || ' ' || md5(md5(text))
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 3),
+        {_sig_cte("old")},
+        {_sig_cte("new")},
+        j AS (SELECT coalesce(o.url, n.url) AS url,
+                     o.digest AS d_old, n.digest AS d_new,
+                     o.simhash AS sh_old, n.simhash AS sh_new
+              FROM old_sig o FULL OUTER JOIN new_sig n ON o.url = n.url)
+        SELECT CAST(url AS BIGINT) AS doc_id,
+               CASE WHEN d_old IS NULL THEN 'added'
+                    WHEN d_new IS NULL THEN 'removed'
+                    WHEN d_old = d_new THEN 'unchanged'
+                    WHEN bit_count(xor(sh_old, sh_new)) <= 3
+                        THEN 'touched'
+                    ELSE 'modified' END AS status,
+               CASE WHEN d_old IS NULL OR d_new IS NULL THEN NULL
+                    ELSE CAST(bit_count(xor(sh_old, sh_new)) AS BIGINT)
+                    END AS hamming
+        FROM j ORDER BY doc_id
     """
 
     sql["q58_triangles"] = f"""

@@ -27,6 +27,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from redactify_spark.operators.dedup import \
+    SIMHASH_NATIVE_BITS as _SIMHASH_BITS
+
 _TRACKING = r"^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
 
 
@@ -78,3 +81,77 @@ def dedup_pages_by_url(pages: DataFrame, url_col: str = "url",
         F.col(ts_col).desc(), F.col(url_col))
     return (withc.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-delta classification (recrawl snapshot diff)
+# ---------------------------------------------------------------------------
+
+def _snapshot_signature(df: DataFrame, url_col: str, text_col: str,
+                        n_bits: int) -> DataFrame:
+    """(url, digest, simhash) per page: md5 digest for exact-change
+    detection plus the fully-native SimHash for magnitude-of-change.
+    One shuffle-free Arrow-less scan; the signature table is ~40 bytes
+    per row, which is what the delta JOIN ships instead of page text
+    (at 10^12 pages the text never moves).  Token-hash pass barriered
+    (localCheckpoint) so the per-bit folds don't re-tokenize -- same
+    CollapseProject trap as dedup.doc_simhash_native."""
+    from redactify_spark.operators.dedup import _native_tokens
+    hashes = F.transform(
+        _native_tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    base = (df.select(F.col(url_col).alias("url"),
+                      F.md5(F.col(text_col)).alias("digest"),
+                      hashes.alias("_hs"))
+            .localCheckpoint(eager=False))
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        vote = F.aggregate(
+            F.col("_hs"), F.lit(0).cast("long"),
+            # eagerly evaluated per iteration, so closing over b is safe
+            lambda acc, h: acc + (F.shiftright(h, b)
+                                  .bitwiseAND(F.lit(1)) * 2 - 1))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return base.select("url", "digest", sig.alias("simhash"))
+
+
+def crawl_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
+                text_col: str = "text", near_hamming: int = 3) -> DataFrame:
+    """(url, status, hamming): classify every url across two crawl
+    snapshots -- the recrawl diff that decides what re-enters the KG
+    pipeline.  Status classes:
+
+    - ``added``     url only in `new` (hamming NULL)
+    - ``removed``   url only in `old` (hamming NULL)
+    - ``unchanged`` byte-identical text (hamming 0 by construction)
+    - ``touched``   text differs but SimHash hamming <= `near_hamming`
+                    (boilerplate/timestamp-level churn -- mentions are
+                    overwhelmingly intact, safe to skip re-detection
+                    in a budgeted refresh)
+    - ``modified``  hamming > `near_hamming`: content change, must
+                    re-detect
+
+    Scale shape: two signature scans (shuffle-free) + ONE full-outer
+    sort-merge join on url over 40-byte signature rows.  Page text
+    never crosses the shuffle.  Downstream: feed
+    ``status IN ('added','touched','modified')`` urls to
+    plans/incremental.append_tranche and tombstone ``removed``."""
+    o = (_snapshot_signature(old, url_col, text_col,
+                             n_bits=_SIMHASH_BITS)
+         .select("url", F.col("digest").alias("_d_old"),
+                 F.col("simhash").alias("_sh_old")))
+    n = (_snapshot_signature(new, url_col, text_col,
+                             n_bits=_SIMHASH_BITS)
+         .select("url", F.col("digest").alias("_d_new"),
+                 F.col("simhash").alias("_sh_new")))
+    j = o.join(n, "url", "full_outer")
+    hamming = F.bit_count(F.col("_sh_old").bitwiseXOR(F.col("_sh_new")))
+    status = (F.when(F.col("_d_old").isNull(), F.lit("added"))
+              .when(F.col("_d_new").isNull(), F.lit("removed"))
+              .when(F.col("_d_old") == F.col("_d_new"), F.lit("unchanged"))
+              .when(hamming <= near_hamming, F.lit("touched"))
+              .otherwise(F.lit("modified")))
+    return j.select(
+        "url", status.alias("status"),
+        F.when(F.col("_d_old").isNotNull() & F.col("_d_new").isNotNull(),
+               hamming).cast("long").alias("hamming"))

@@ -74,3 +74,68 @@ def test_fragment_question_mark_is_not_a_query(spark):
     # '?' INSIDE the query is part of it (RFC 3986): the query starts at
     # the FIRST '?', not the last
     assert out[3] == "http://ex.com/p?redirect=http://o.com/x?y=1"
+
+
+# ---------------------------------------------------------------------------
+# crawl-delta classification
+# ---------------------------------------------------------------------------
+
+def _delta(spark, old_rows, new_rows, **kw):
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    new = spark.createDataFrame(new_rows, "url string, text string")
+    return {r.url: (r.status, r.hamming)
+            for r in U.crawl_delta(old, new, **kw).collect()}
+
+
+def test_crawl_delta_all_five_statuses(spark):
+    long = " ".join(f"word{i} stays here" for i in range(40))
+    got = _delta(
+        spark,
+        [("a", long), ("b", long), ("c", long), ("d", "gone page")],
+        [("a", long),                      # unchanged
+         ("b", long + "  "),               # digest differs, tokens don't
+         ("c", "totally different content about other things entirely"),
+         ("e", "fresh page")])             # added
+    assert got["a"] == ("unchanged", 0)
+    assert got["b"] == ("touched", 0)
+    assert got["c"][0] == "modified" and got["c"][1] > 3
+    assert got["d"] == ("removed", None)
+    assert got["e"] == ("added", None)
+
+
+def test_crawl_delta_small_edit_is_touched(spark):
+    """One token appended to a long page stays within the near
+    threshold."""
+    long = " ".join(f"tok{i}" for i in range(200))
+    got = _delta(spark, [("u", long)], [("u", long + " extra")])
+    status, ham = got["u"]
+    assert status == "touched" and 0 < ham <= 3
+
+
+def test_crawl_delta_threshold_knob(spark):
+    """near_hamming=0 reclassifies any bit flip as modified."""
+    long = " ".join(f"tok{i}" for i in range(200))
+    got = _delta(spark, [("u", long)], [("u", long + " extra")],
+                 near_hamming=0)
+    assert got["u"][0] == "modified"
+
+
+def test_crawl_delta_null_and_empty_text(spark):
+    """Empty and NULL text rows survive: empty==empty is unchanged,
+    NULL text yields NULL digest -> never equal, lands in touched
+    (simhash 0 both sides)."""
+    got = _delta(spark, [("a", ""), ("b", "x")], [("a", ""), ("b", "x")])
+    assert got["a"] == ("unchanged", 0)
+    assert got["b"] == ("unchanged", 0)
+
+
+def test_crawl_delta_partition_invariant(spark):
+    """Same verdicts regardless of input partitioning."""
+    rows = [(f"u{i}", f"page text number {i} " * 10) for i in range(50)]
+    new = [(u, t if i % 5 else t + " tail") for i, (u, t) in enumerate(rows)]
+    a = _delta(spark, rows, new)
+    old1 = spark.createDataFrame(rows, "url string, text string").repartition(13)
+    new1 = spark.createDataFrame(new, "url string, text string").repartition(3)
+    b = {r.url: (r.status, r.hamming)
+         for r in U.crawl_delta(old1, new1).collect()}
+    assert a == b
