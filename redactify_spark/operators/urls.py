@@ -87,8 +87,9 @@ def dedup_pages_by_url(pages: DataFrame, url_col: str = "url",
 # crawl-delta classification (recrawl snapshot diff)
 # ---------------------------------------------------------------------------
 
-def _snapshot_signature(df: DataFrame, url_col: str, text_col: str,
-                        n_bits: int) -> DataFrame:
+def snapshot_signature(df: DataFrame, url_col: str = "url",
+                       text_col: str = "text",
+                       n_bits: int = _SIMHASH_BITS) -> DataFrame:
     """(url, digest, simhash) per page: md5 digest for exact-change
     detection plus the fully-native SimHash for magnitude-of-change.
     One shuffle-free Arrow-less scan; the signature table is ~40 bytes
@@ -136,14 +137,22 @@ def crawl_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
     never crosses the shuffle.  Downstream: feed
     ``status IN ('added','touched','modified')`` urls to
     plans/incremental.append_tranche and tombstone ``removed``."""
-    o = (_snapshot_signature(old, url_col, text_col,
-                             n_bits=_SIMHASH_BITS)
-         .select("url", F.col("digest").alias("_d_old"),
-                 F.col("simhash").alias("_sh_old")))
-    n = (_snapshot_signature(new, url_col, text_col,
-                             n_bits=_SIMHASH_BITS)
-         .select("url", F.col("digest").alias("_d_new"),
-                 F.col("simhash").alias("_sh_new")))
+    return delta_from_signatures(
+        snapshot_signature(old, url_col, text_col),
+        snapshot_signature(new, url_col, text_col),
+        near_hamming=near_hamming)
+
+
+def delta_from_signatures(old_sig: DataFrame, new_sig: DataFrame,
+                          near_hamming: int = 3) -> DataFrame:
+    """crawl_delta over PRE-COMPUTED (url, digest, simhash) signature
+    tables -- the resume path: a recrawl ledger persists each crawl's
+    signatures (40 bytes/url), so the next delta never re-reads old
+    page text."""
+    o = old_sig.select("url", F.col("digest").alias("_d_old"),
+                       F.col("simhash").alias("_sh_old"))
+    n = new_sig.select("url", F.col("digest").alias("_d_new"),
+                       F.col("simhash").alias("_sh_new"))
     j = o.join(n, "url", "full_outer")
     hamming = F.bit_count(F.col("_sh_old").bitwiseXOR(F.col("_sh_new")))
     status = (F.when(F.col("_d_old").isNull(), F.lit("added"))
