@@ -1670,6 +1670,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "cyclic")
                 .orderBy("node"))
 
+    def q114_anchor_text_aliases(spark, sf):
+        """Anchor-text alias table from ACTUAL html parsing: top-2
+        anchor surface forms per link target over 2000 synthesized
+        pages (the crowd-sourced entity-name signal for KG node
+        labeling).  One combinable groupBy on (dst, anchor) + a per-dst
+        top-k window over the aggregated table.  Oracle rebuilds the
+        anchors ARITHMETICALLY from the deterministic outlink model
+        (dst url via md5, anchor via the (t+j)%3 template) -- the q110
+        pattern."""
+        from redactify_spark.operators import weblinks as W
+        from redactify_spark.sources.pages import synth_pages
+        anchors = W.extract_anchors(synth_pages(spark, 2000,
+                                                partitions=8))
+        return (W.anchor_text_aliases(anchors, k=2)
+                .select("dst", "anchor", "n_refs",
+                        F.col("rank").cast("long").alias("rank"))
+                .orderBy("dst", "rank"))
+
     def q113_crawl_delta(spark, sf):
         """Recrawl snapshot diff: classify every url across two crawl
         snapshots as unchanged / touched (simhash hamming <= 3) /
@@ -1827,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_host_pagerank": q111_host_pagerank,
         "q112_redirect_resolution": q112_redirect_resolution,
         "q113_crawl_delta": q113_crawl_delta,
+        "q114_anchor_text_aliases": q114_anchor_text_aliases,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2795,6 +2814,43 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(hops AS BIGINT) END AS hops,
                hops >= 64 AS cyclic
         FROM deepest WHERE rn = 1 ORDER BY node
+    """
+
+    # ---- q114: anchor-text alias table ------------------------------------
+    # Rebuilds the anchor stream arithmetically: page i's j-th link
+    # (j=1..LINKS_PER_PAGE) targets t=(i*31+7j)%LINK_SPACE with anchor
+    # ANCHOR_TEMPLATES[(t+j)%3]; dst url = site{t%64}.example/ +
+    # md5('path:'||t)[:10] (both engines share md5).  Spark parses the
+    # actual html bytes.
+    from redactify_spark.sources.pages import ANCHOR_TEMPLATES
+    assert ANCHOR_TEMPLATES == ("page {t}", "doc {t}", "see page {t}")
+    sql["q114_anchor_text_aliases"] = f"""
+        WITH
+        ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 2000)),
+        js AS (SELECT CAST(range AS BIGINT) AS j
+               FROM range(1, {LINKS_PER_PAGE + 1})),
+        raw AS (SELECT i, j, (i * 31 + 7 * j) % {LINK_SPACE} AS t
+                FROM ids CROSS JOIN js),
+        anch AS (SELECT
+                     'https://site' || CAST(t % {_N_SITES} AS VARCHAR)
+                         || '.example/'
+                         || substr(md5('path:' || CAST(t AS VARCHAR)),
+                                   1, 10) AS dst,
+                     CASE (t + j) % 3
+                         WHEN 0 THEN 'page ' || CAST(t AS VARCHAR)
+                         WHEN 1 THEN 'doc ' || CAST(t AS VARCHAR)
+                         ELSE 'see page ' || CAST(t AS VARCHAR)
+                     END AS anchor
+                 FROM raw),
+        counts AS (SELECT dst, anchor, count(*) AS n_refs
+                   FROM anch GROUP BY dst, anchor),
+        ranked AS (SELECT dst, anchor, CAST(n_refs AS BIGINT) AS n_refs,
+                          row_number() OVER (PARTITION BY dst
+                                             ORDER BY n_refs DESC,
+                                                      anchor) AS rank
+                   FROM counts)
+        SELECT dst, anchor, n_refs, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 2 ORDER BY dst, rank
     """
 
     # ---- q113: crawl-delta classification --------------------------------

@@ -164,3 +164,70 @@ def resolve_redirects(redirects: DataFrame, src: str = "src",
                     F.when(F.col("_redir").isNull(), F.col("steps"))
                     .cast("long").alias("hops"),
                     F.coalesce("_redir", F.lit(False)).alias("cyclic")))
+
+
+# ---------------------------------------------------------------------------
+# anchor-text alias aggregation
+# ---------------------------------------------------------------------------
+
+# href + its anchor text up to the closing tag; [^<]* keeps the scan
+# linear (no backtracking) and skips anchors containing nested markup
+_ANCHOR_RE = re.compile(rb"href=\"(https?://[^\"]+)\"\s*>([^<]*)<")
+
+
+def extract_page_anchors(html_bytes: bytes) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs of one page, document order (pure,
+    version-pinned unit of the Spark stage)."""
+    return [(u.decode("utf-8", "replace"),
+             a.decode("utf-8", "replace").strip())
+            for u, a in _ANCHOR_RE.findall(html_bytes)]
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor): one row per absolute href with its anchor
+    text.  Same Arrow-batched shuffle-free scan shape as
+    extract_links."""
+    sel = pages.select(F.col(url_col).alias("src"),
+                       F.col(html_col).alias("_html"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs: list[str] = []
+            dsts: list[str] = []
+            txts: list[str] = []
+            for src, hb in zip(pdf["src"].tolist(), pdf["_html"].tolist()):
+                if hb is None:
+                    continue
+                for dst, txt in extract_page_anchors(bytes(hb)):
+                    srcs.append(src)
+                    dsts.append(dst)
+                    txts.append(txt)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "anchor": txts})
+
+    return sel.mapInPandas(gen, schema="src string, dst string, "
+                                       "anchor string")
+
+
+def anchor_text_aliases(anchors: DataFrame, k: int = 3,
+                        min_count: int = 1) -> DataFrame:
+    """(dst, anchor, n_refs, rank): the top-k anchor surface forms per
+    target url -- the web's crowd-sourced ALIAS TABLE, the classic
+    entity-name signal for KG node labeling (how the rest of the web
+    names this page).
+
+    Scale shape: one map-side-combinable groupBy on (dst, anchor) --
+    head targets (every page linking to a homepage with 'home') are
+    safe because counts combine before the shuffle -- then a per-dst
+    top-k window over the already-aggregated (dst, anchor) table,
+    which is orders of magnitude smaller than the raw anchor stream.
+    Ties break lexicographically for determinism."""
+    from pyspark.sql.window import Window
+    counts = (anchors.where(F.col("anchor") != "")
+              .groupBy("dst", "anchor")
+              .agg(F.count("*").cast("long").alias("n_refs"))
+              .where(F.col("n_refs") >= min_count))
+    w = Window.partitionBy("dst").orderBy(F.col("n_refs").desc(),
+                                          F.col("anchor"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -105,12 +105,31 @@ def link_targets(doc_id: int) -> list[int]:
             for j in range(1, LINKS_PER_PAGE + 1)]
 
 
-def render_html(text: str, url: str, link_urls: tuple = ()) -> bytes:
+#: deterministic anchor-text templates -- referrers describe the SAME
+#: target with varying surface forms, the signal anchor-text alias
+#: aggregation exists to collect.  Index = (target doc id + j) % 3,
+#: rebuildable arithmetically by a SQL oracle.
+ANCHOR_TEMPLATES = ("page {t}", "doc {t}", "see page {t}")
+
+
+def anchor_text(target_id: int, j: int) -> str:
+    """Anchor text the j-th outlink slot uses for `target_id`."""
+    return ANCHOR_TEMPLATES[(target_id + j) % len(ANCHOR_TEMPLATES)] \
+        .format(t=target_id)
+
+
+def render_html(text: str, url: str, link_urls: tuple = (),
+                link_texts: tuple = ()) -> bytes:
     """Deterministic HTML wrapper with boilerplate nav/footer and an
     optional outlink section (absolute hrefs; the nav's relative hrefs
-    are boilerplate that link extraction must skip)."""
+    are boilerplate that link extraction must skip).  `link_texts`
+    supplies per-link anchor text (defaults to 'ref')."""
     body = _html.escape(text, quote=False)
-    refs = "".join(f"<li><a href=\"{u}\">ref</a></li>" for u in link_urls)
+    texts = (tuple(link_texts) +
+             ("ref",) * (len(link_urls) - len(link_texts)))
+    refs = "".join(
+        f"<li><a href=\"{u}\">{_html.escape(a, quote=False)}</a></li>"
+        for u, a in zip(link_urls, texts))
     page = (
         "<html><head><title>page</title></head><body>"
         "<nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav>"
@@ -177,9 +196,12 @@ def synth_pages(spark: SparkSession, n_docs: int,
                 url = page_url(int(doc_id))
                 rows["url"].append(url)
                 rows["warc_ts"].append(_BASE_TS + timedelta(seconds=17 * int(doc_id)))
-                links = tuple(page_url(t)
-                              for t in link_targets(int(doc_id)))
-                rows["html"].append(render_html(text, url, links))
+                targets = link_targets(int(doc_id))
+                links = tuple(page_url(t) for t in targets)
+                anchors = tuple(anchor_text(t, j + 1)
+                                for j, t in enumerate(targets))
+                rows["html"].append(render_html(text, url, links,
+                                                anchors))
                 rows["text"].append(text)
                 rows["lang"].append(page_lang(int(doc_id)))
             yield pd.DataFrame(rows)

@@ -182,3 +182,54 @@ def test_resolve_redirects_long_chain_log_rounds(spark):
     assert got[0] == (500, 500)
     assert got[250] == (500, 250)
     assert got[500] == (500, 0)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text alias aggregation
+# ---------------------------------------------------------------------------
+
+def test_extract_page_anchors_pairs_and_boilerplate():
+    """Absolute hrefs pair with their anchor text; relative nav links
+    are skipped; the article body cannot inject anchors (escaped)."""
+    html = P.render_html('see <a href="https://evil.example/x">inject</a>',
+                         "https://me.example/p",
+                         ("https://a.example/1", "https://b.example/2"),
+                         ("Acme Corp", "see docs"))
+    got = W.extract_page_anchors(html)
+    assert got == [("https://a.example/1", "Acme Corp"),
+                   ("https://b.example/2", "see docs")]
+
+
+def test_extract_anchors_matches_link_extraction(spark):
+    """Anchor extraction sees exactly the same (src, dst) edges as
+    extract_links on the same pages."""
+    pages = P.synth_pages(spark, 50, partitions=4)
+    links = {(r.src, r.dst) for r in W.extract_links(pages).collect()}
+    anchors = W.extract_anchors(pages).collect()
+    assert {(r.src, r.dst) for r in anchors} == links
+    assert all(r.anchor for r in anchors)
+
+
+def test_anchor_text_aliases_topk_and_ties(spark):
+    df = spark.createDataFrame(
+        [("s1", "d", "Acme"), ("s2", "d", "Acme"), ("s3", "d", "ACME Inc"),
+         ("s4", "d", "Acme"), ("s5", "d", "zcorp"), ("s6", "d", "azcorp"),
+         ("s7", "e", ""), ("s8", "e", "only")],
+        "src string, dst string, anchor string")
+    got = [(r.dst, r.anchor, r.n_refs, r.rank)
+           for r in W.anchor_text_aliases(df, k=2)
+           .orderBy("dst", "rank").collect()]
+    # count desc, then lexicographic tiebreak; empty anchors dropped
+    assert got == [("d", "Acme", 3, 1), ("d", "ACME Inc", 1, 2),
+                   ("e", "only", 1, 1)]
+
+
+def test_anchor_aliases_name_targets_consistently(spark):
+    """Every alias row's anchor embeds the target doc id from the
+    deterministic template model."""
+    pages = P.synth_pages(spark, 200, partitions=4)
+    rows = W.anchor_text_aliases(W.extract_anchors(pages), k=3).collect()
+    assert rows
+    for r in rows:
+        tid = r.anchor.split()[-1]
+        assert P.page_url(int(tid)) == r.dst
