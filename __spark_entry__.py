@@ -1688,6 +1688,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rank").cast("long").alias("rank"))
                 .orderBy("dst", "rank"))
 
+    def q115_robots_permission(spark, sf):
+        """robots.txt politeness filtering: parse ACTUAL robots bodies
+        (user-agent groups, comments, case folding) and decide crawl
+        permission for agent 'redactify-bot' over 1000 urls by the RFC
+        9309 rule (longest matching prefix, Allow wins ties, absent
+        host/rule -> allowed; a host with a bot-specific group uses
+        ONLY it).  The urls side is never shuffled: per-host rule
+        arrays broadcast + per-row fold.  Oracle rebuilds the rule
+        sets arithmetically and applies the same decision as a
+        window argmax -- checks the PARSER + decision end to end."""
+        from redactify_spark.operators.robots import (crawl_permission,
+                                                      parse_robots)
+        h = spark.range(20).select(F.col("id").alias("h"))
+        body = F.concat(
+            F.lit("# crawl policy\nUser-agent: *\nDisallow: /private\n"
+                  "Allow: /private/pub\n"),
+            F.when(F.col("h") % 3 == 0, F.lit("Disallow: /tmp\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("h") % 4 == 1,
+                   F.lit("User-agent: redactify-bot\nDisallow: /\n"))
+            .otherwise(F.lit("")))
+        robots = (h.where(F.col("h") % 5 != 2)
+                  .select(F.concat(F.lit("site"),
+                                   F.col("h").cast("string"),
+                                   F.lit(".example")).alias("host"),
+                          body.alias("robots_txt")))
+        paths = F.element_at(
+            F.array(F.lit("/private/x"), F.lit("/private/pub/y"),
+                    F.lit("/tmp/z"), F.lit("/ok"), F.lit("")),
+            (F.col("id") % 5 + 1).cast("int"))
+        urls = spark.range(1000).select(F.concat(
+            F.lit("https://site"), (F.col("id") % 20).cast("string"),
+            F.lit(".example"), paths,
+            F.when(F.col("id") % 5 == 4, F.lit("/"))
+            .otherwise(F.col("id").cast("string"))).alias("url"))
+        out = crawl_permission(urls, parse_robots(robots),
+                               agent="redactify-bot")
+        return out.select("url", "allowed").orderBy("url")
+
     def q113_crawl_delta(spark, sf):
         """Recrawl snapshot diff: classify every url across two crawl
         snapshots as unchanged / touched (simhash hamming <= 3) /
@@ -1846,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_redirect_resolution": q112_redirect_resolution,
         "q113_crawl_delta": q113_crawl_delta,
         "q114_anchor_text_aliases": q114_anchor_text_aliases,
+        "q115_robots_permission": q115_robots_permission,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2851,6 +2891,55 @@ def oracle_sql() -> dict[str, str]:
                    FROM counts)
         SELECT dst, anchor, n_refs, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 2 ORDER BY dst, rank
+    """
+
+    # ---- q115: robots.txt crawl permission ----------------------------------
+    # The oracle rebuilds each host's EFFECTIVE rule set arithmetically
+    # from the same generation arithmetic (Spark parses the actual
+    # robots bodies) and applies the RFC 9309 decision as a window
+    # argmax over matching prefixes: score 2*len + allow-bit, no match
+    # or no robots entry -> allowed.
+    sql["q115_robots_permission"] = """
+        WITH hosts AS (SELECT CAST(range AS BIGINT) AS h
+                       FROM range(0, 20) WHERE range % 5 <> 2),
+        rules AS (
+            SELECT h, '*' AS agent, false AS al, '/private' AS p
+            FROM hosts
+            UNION ALL SELECT h, '*', true, '/private/pub' FROM hosts
+            UNION ALL SELECT h, '*', false, '/tmp' FROM hosts
+                      WHERE h % 3 = 0
+            UNION ALL SELECT h, 'redactify-bot', false, '/' FROM hosts
+                      WHERE h % 4 = 1),
+        eff AS (
+            SELECT * FROM rules
+            WHERE agent = 'redactify-bot'
+               OR (agent = '*' AND h NOT IN
+                   (SELECT h FROM rules WHERE agent = 'redactify-bot'))),
+        urls AS (
+            SELECT CAST(range AS BIGINT) AS i,
+                   CAST(range % 20 AS BIGINT) AS h,
+                   CASE range % 5
+                       WHEN 0 THEN '/private/x' || CAST(range AS VARCHAR)
+                       WHEN 1 THEN '/private/pub/y'
+                                       || CAST(range AS VARCHAR)
+                       WHEN 2 THEN '/tmp/z' || CAST(range AS VARCHAR)
+                       WHEN 3 THEN '/ok' || CAST(range AS VARCHAR)
+                       ELSE '/' END AS path
+            FROM range(0, 1000)),
+        m AS (SELECT u.i, u.h, u.path, r.p, r.al
+              FROM urls u LEFT JOIN eff r
+                ON r.h = u.h AND starts_with(u.path, r.p)),
+        best AS (SELECT i, h, path, p, al,
+                        row_number() OVER (
+                            PARTITION BY i
+                            ORDER BY 2 * length(p)
+                                     + CASE WHEN al THEN 1 ELSE 0 END
+                                     DESC NULLS LAST) AS rn
+                 FROM m)
+        SELECT 'https://site' || CAST(h AS VARCHAR) || '.example' || path
+                   AS url,
+               CASE WHEN p IS NULL THEN true ELSE al END AS allowed
+        FROM best WHERE rn = 1 ORDER BY url
     """
 
     # ---- q113: crawl-delta classification --------------------------------

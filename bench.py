@@ -579,7 +579,25 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         out[name] = min(warm)
         spread[name] = {"cold": walls[0], "best": min(warm),
                         "worst": max(warm), "runs": trials}
+        _drop_cached_state(spark)
     return out, spread
+
+
+def _drop_cached_state(spark) -> None:
+    """Per-pick isolation: drop DF cache AND the localCheckpoint RDD
+    blocks earlier picks left in the block manager.  Without this the
+    residue of ~15 prior picks (stored-token barriers, signature
+    tables) squeezes executor memory and a late iterative pick measures
+    GC pressure, not itself -- q57 read 14.5 s in-harness vs 5.3 s
+    isolated before this was added.  Nothing reuses a prior pick's
+    frames, so unpersisting is safe."""
+    try:
+        spark.catalog.clearCache()
+        jvm_rdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jvm_rdds.values():
+            rdd.unpersist(False)
+    except Exception:
+        pass  # isolation is best-effort; the measurement still runs
 
 
 def bench_once(master_cpus: int, mult: int, sf_dir: str,
