@@ -1727,6 +1727,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                agent="redactify-bot")
         return out.select("url", "allowed").orderBy("url")
 
+    def q116_crawl_frontier(spark, sf):
+        """Crawl-frontier selection -- the composition flagship of the
+        web family: extract links from 2000 crawled pages, keep
+        UNCRAWLED targets (anti join) with in-link counts, drop urls
+        robots.txt forbids for redactify-bot (per-host broadcast fold,
+        q115 machinery), attach host authority (weighted host PageRank,
+        q111), emit the top-5 frontier urls per host (in-links desc,
+        url asc).  Every stage value-checked at once: the oracle
+        rebuilds links + robots + pagerank arithmetically."""
+        from pyspark.sql.window import Window
+        from redactify_spark.operators import weblinks as W
+        from redactify_spark.operators.robots import (crawl_permission,
+                                                      parse_robots)
+        from redactify_spark.sources.pages import synth_pages
+        pages = synth_pages(spark, 2000, partitions=8)
+        links = W.extract_links(pages).localCheckpoint(eager=False)
+        cand = (links.groupBy("dst")
+                .agg(F.count("*").cast("long").alias("n_inlinks"))
+                .join(pages.select(F.col("url").alias("dst")),
+                      "dst", "anti"))
+        h = spark.range(64).select(F.col("id").alias("h"))
+        body = F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(F.col("h") % 3 == 0, F.lit("Disallow: /a\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("h") % 4 == 1,
+                   F.lit("User-agent: redactify-bot\nDisallow: /\n"))
+            .otherwise(F.lit("")))
+        robots = h.select(
+            F.concat(F.lit("site"), F.col("h").cast("string"),
+                     F.lit(".example")).alias("host"),
+            body.alias("robots_txt"))
+        allowed = (crawl_permission(cand, parse_robots(robots),
+                                    agent="redactify-bot", url_col="dst")
+                   .where("allowed").drop("allowed"))
+        pr = W.host_pagerank(W.host_graph(links))
+        ranked = (allowed
+                  .withColumn("host", W.host_expr(F.col("dst")))
+                  .join(pr, "host"))
+        w = Window.partitionBy("host").orderBy(F.col("n_inlinks").desc(),
+                                               F.col("dst"))
+        return (ranked.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= 5)
+                .select("host", F.col("dst").alias("url"), "n_inlinks",
+                        F.round("rank", 6).alias("host_rank"),
+                        F.col("rk").cast("long").alias("rk"))
+                .orderBy("host", "rk"))
+
     def q113_crawl_delta(spark, sf):
         """Recrawl snapshot diff: classify every url across two crawl
         snapshots as unchanged / touched (simhash hamming <= 3) /
@@ -1886,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_crawl_delta": q113_crawl_delta,
         "q114_anchor_text_aliases": q114_anchor_text_aliases,
         "q115_robots_permission": q115_robots_permission,
+        "q116_crawl_frontier": q116_crawl_frontier,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2811,6 +2860,48 @@ def oracle_sql() -> dict[str, str]:
         h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS r FROM hnodes)
         {hpr_rounds}
         SELECT host, round(r, 6) AS rank FROM h5 ORDER BY host
+    """
+
+    # ---- q116: crawl-frontier selection ------------------------------------
+    # Whole-composition oracle: link targets + in-link counts from the
+    # arithmetic outlink model (q110's CTEs), candidate = target id >=
+    # 2000 (uncrawled), robots decision from the same generation
+    # arithmetic (bot-tier hosts h%4==1 fully excluded; '*' hosts
+    # h%3==0 exclude md5-paths starting 'a'), host authority = the q111
+    # five-round pagerank unroll, per-host top-5.
+    sql["q116_crawl_frontier"] = f"""
+        WITH {hostg_ctes},
+        hnodes AS (SELECT DISTINCT src_host AS host FROM hostg
+                   UNION
+                   SELECT DISTINCT dst_host FROM hostg),
+        wsum AS (SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS w
+                 FROM hostg GROUP BY src_host),
+        h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS r FROM hnodes)
+        {hpr_rounds},
+        cand AS (SELECT t, count(*) AS n_inlinks FROM links
+                 WHERE t >= {_n_q110} GROUP BY t),
+        feat AS (SELECT t, n_inlinks, t % {_N_SITES} AS hh,
+                        'site' || CAST(t % {_N_SITES} AS VARCHAR)
+                            || '.example' AS host,
+                        'https://site' || CAST(t % {_N_SITES} AS VARCHAR)
+                            || '.example/'
+                            || substr(md5('path:' || CAST(t AS VARCHAR)),
+                                      1, 10) AS url,
+                        substr(md5('path:' || CAST(t AS VARCHAR)),
+                               1, 1) AS p1
+                 FROM cand),
+        ok AS (SELECT * FROM feat
+               WHERE hh % 4 <> 1
+                 AND NOT (hh % 3 = 0 AND p1 = 'a')),
+        ranked AS (SELECT f.host, f.url,
+                          CAST(f.n_inlinks AS BIGINT) AS n_inlinks,
+                          round(h5.r, 6) AS host_rank,
+                          row_number() OVER (
+                              PARTITION BY f.host
+                              ORDER BY f.n_inlinks DESC, f.url) AS rk
+                   FROM ok f JOIN h5 ON h5.host = f.host)
+        SELECT host, url, n_inlinks, host_rank, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY host, rk
     """
 
     # ---- q112: redirect-chain resolution --------------------------------

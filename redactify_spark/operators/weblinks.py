@@ -107,6 +107,7 @@ def host_pagerank(hosts: DataFrame, iterations: int = 5,
 
 def resolve_redirects(redirects: DataFrame, src: str = "src",
                       dst: str = "dst", max_doubling: int = 16,
+                      early_exit: bool = True,
                       reliable_checkpoint: bool = False) -> DataFrame:
     """(node, final, hops, cyclic): resolve every node's redirect chain
     to its terminal target -- URL canonicalization for crawl dedup
@@ -123,7 +124,14 @@ def resolve_redirects(redirects: DataFrame, src: str = "src",
     stop early when no row moves; a cycle never converges, so cyclic
     inputs run all `max_doubling` rounds (2^max_doubling caps the
     resolvable chain length).  Lineage cut per round, same policy as
-    connected_components."""
+    connected_components.
+
+    `early_exit=True` stops as soon as a round moves no row, at the
+    cost of one small count job per round.  At warehouse scale, when
+    the max chain length is known (HTTP clients cap redirects at ~20,
+    so 5 doubling rounds suffice), pass early_exit=False with a sized
+    max_doubling and the per-round counts disappear entirely (ADVICE
+    r5)."""
     def cut(df: DataFrame) -> DataFrame:
         return (df.checkpoint() if reliable_checkpoint
                 else df.localCheckpoint(eager=False))
@@ -149,10 +157,13 @@ def resolve_redirects(redirects: DataFrame, src: str = "src",
                        (F.col("steps") + F.col("_s2")).alias("steps"),
                        (F.col("cur") != F.col("_c2")).alias("_moved")))
         nxt = cut(nxt)
-        moved = nxt.where("_moved").count()
-        jump = nxt.drop("_moved")
-        if moved == 0:
-            break
+        if early_exit:
+            moved = nxt.where("_moved").count()
+            jump = nxt.drop("_moved")
+            if moved == 0:
+                break
+        else:
+            jump = nxt.drop("_moved")
     # a resolved chain ends at a node with no outgoing redirect; a chain
     # still pointing at a redirecting node after the doubling budget is
     # in (or feeds) a loop

@@ -233,3 +233,16 @@ def test_anchor_aliases_name_targets_consistently(spark):
     for r in rows:
         tid = r.anchor.split()[-1]
         assert P.page_url(int(tid)) == r.dst
+
+
+def test_resolve_redirects_fixed_budget_no_early_exit(spark):
+    """early_exit=False (sized fixed budget, no per-round count jobs)
+    gives identical verdicts: 2^5 = 32 >= the longest chain here."""
+    pairs = [(i, i + 1) for i in range(20)] + [(50, 51), (51, 50)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    a = {r.node: (r.final, r.hops, r.cyclic)
+         for r in W.resolve_redirects(df).collect()}
+    b = {r.node: (r.final, r.hops, r.cyclic)
+         for r in W.resolve_redirects(df, max_doubling=5,
+                                      early_exit=False).collect()}
+    assert a == b
