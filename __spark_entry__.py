@@ -1775,6 +1775,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rk").cast("long").alias("rk"))
                 .orderBy("host", "rk"))
 
+    def q117_sitemap_parse(spark, sf):
+        """Sitemap discovery + parse: `Sitemap:` directives from robots
+        bodies -> join to the fetched-XML table -> native <url>-block
+        parse (loc trimmed, lastmod nullable).  The XML bodies are
+        BUILT in Spark from the deterministic model and parsed back;
+        the oracle emits the expected rows arithmetically, so the
+        regexp parse is value-checked end to end."""
+        from redactify_spark.operators.robots import (parse_sitemap,
+                                                      sitemap_urls)
+        h = spark.range(16).select(F.col("id").alias("h"))
+        robots = h.select(
+            F.concat(F.lit("sm"), F.col("h").cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.concat(F.lit("User-agent: *\nDisallow: /x\n"
+                           "Sitemap: https://sm"),
+                     F.col("h").cast("string"),
+                     F.lit(".example/sitemap.xml\n")).alias("robots_txt"))
+        ks = h.select(
+            "h", F.explode(F.sequence(F.lit(0), F.col("h") % 4 + 2))
+            .alias("k"))
+        entry = F.concat(
+            F.lit("<url>\n  <loc> https://sm"), F.col("h").cast("string"),
+            F.lit(".example/p"), F.col("k").cast("string"),
+            F.lit(" </loc>"),
+            F.when(F.col("k") % 3 != 2,
+                   F.concat(F.lit("\n  <lastmod> 2025-01-"),
+                            F.lpad((F.col("k") + 1).cast("string"), 2,
+                                   "0"),
+                            F.lit(" </lastmod>"))).otherwise(F.lit("")),
+            F.lit("\n</url>"))
+        xml = (ks.groupBy("h")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("k"), entry.alias("s")))),
+                       lambda e: e["s"]), "\n").alias("_body"))
+               .select(F.concat(F.lit("https://sm"),
+                                F.col("h").cast("string"),
+                                F.lit(".example/sitemap.xml"))
+                       .alias("sitemap_url"),
+                       F.concat(F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+                                F.col("_body"),
+                                F.lit("\n</urlset>"))
+                       .alias("sitemap_xml")))
+        fetched = sitemap_urls(robots).join(xml, "sitemap_url")
+        return (parse_sitemap(fetched)
+                .select("host", "url", "lastmod")
+                .orderBy("host", "url"))
+
     def q113_crawl_delta(spark, sf):
         """Recrawl snapshot diff: classify every url across two crawl
         snapshots as unchanged / touched (simhash hamming <= 3) /
@@ -1935,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_anchor_text_aliases": q114_anchor_text_aliases,
         "q115_robots_permission": q115_robots_permission,
         "q116_crawl_frontier": q116_crawl_frontier,
+        "q117_sitemap_parse": q117_sitemap_parse,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2902,6 +2952,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM ok f JOIN h5 ON h5.host = f.host)
         SELECT host, url, n_inlinks, host_rank, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5 ORDER BY host, rk
+    """
+
+    # ---- q117: sitemap discovery + parse ------------------------------------
+    # The oracle emits the expected (host, url, lastmod) rows straight
+    # from the generation arithmetic; Spark builds the XML bodies and
+    # parses them back, so the native regexp parse (trimmed <loc>,
+    # nullable <lastmod>) is the thing under test.
+    sql["q117_sitemap_parse"] = """
+        WITH hs AS (SELECT CAST(range AS BIGINT) AS h FROM range(0, 16)),
+        ks AS (SELECT h, unnest(generate_series(0, h % 4 + 2)) AS k
+               FROM hs)
+        SELECT 'sm' || CAST(h AS VARCHAR) || '.example' AS host,
+               'https://sm' || CAST(h AS VARCHAR) || '.example/p'
+                   || CAST(k AS VARCHAR) AS url,
+               CASE WHEN k % 3 = 2 THEN NULL
+                    ELSE '2025-01-' || lpad(CAST(k + 1 AS VARCHAR), 2, '0')
+               END AS lastmod
+        FROM ks ORDER BY host, url
     """
 
     # ---- q112: redirect-chain resolution --------------------------------

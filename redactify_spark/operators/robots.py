@@ -140,3 +140,50 @@ def crawl_permission(urls: DataFrame, rules: DataFrame,
         lambda acc: acc["verdict"])
     return (j.withColumn("allowed", decision)
             .drop("host", "_rules", "_host", "_path"))
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery + parsing
+# ---------------------------------------------------------------------------
+
+def sitemap_urls(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): `Sitemap:` directives.  Agent-independent
+    per the spec (they sit outside user-agent groups), so this is a
+    stateless line scan -- no group window needed."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), r"\r?\n")).alias("line"))
+    return (lines
+            .select("host",
+                    F.regexp_extract(
+                        "line", r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+                    .alias("sitemap_url"))
+            .where(F.col("sitemap_url") != ""))
+
+
+def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
+                  xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, url, lastmod): one row per <url> entry of a sitemap XML
+    body.  Native regexp over the (?s)-dotall <url> blocks -- the
+    10^8-sitemap fetch table parses inside one whole-stage-codegen'd
+    scan, no XML library, no Python.  `lastmod` is NULL when the entry
+    has none; entries without <loc> are dropped.
+
+    Scope: urlset sitemaps (the leaf format).  A <sitemapindex> file
+    nests further sitemap urls -- feed those back through this parser's
+    sibling scan; recursion depth in the wild is 1."""
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.regexp_extract_all(
+            F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1))
+        .alias("_b"))
+    return (blocks
+            .select("host",
+                    F.regexp_extract("_b", r"<loc>\s*([^<\s][^<]*?)\s*</loc>",
+                                     1).alias("url"),
+                    F.nullif(
+                        F.regexp_extract(
+                            "_b", r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1),
+                        F.lit("")).alias("lastmod"))
+            .where(F.col("url") != ""))

@@ -116,3 +116,50 @@ def test_urls_side_has_no_exchange(spark):
     streamed = plan.split("BroadcastHashJoin")[1].split(
         "BroadcastExchange")[0]
     assert "Exchange" not in streamed
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery + parsing
+# ---------------------------------------------------------------------------
+
+def test_sitemap_urls_discovery(spark):
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h.example/s1.xml\n"
+            "SITEMAP:   https://h.example/s2.xml\n"   # case + spaces
+            "# Sitemap: https://h.example/commented.xml\n")
+    df = spark.createDataFrame([("h.example", body)],
+                               "host string, robots_txt string")
+    got = {(r.host, r.sitemap_url) for r in RB.sitemap_urls(df).collect()}
+    assert got == {("h.example", "https://h.example/s1.xml"),
+                   ("h.example", "https://h.example/s2.xml")}
+
+
+def test_parse_sitemap_entries(spark):
+    xml = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://h.example/a </loc>
+       <lastmod> 2025-02-03 </lastmod></url>
+  <url>
+    <loc>https://h.example/b</loc>
+  </url>
+  <url><lastmod>2025-01-01</lastmod></url>
+</urlset>"""
+    df = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    got = sorted((r.host, r.url, r.lastmod)
+                 for r in RB.parse_sitemap(df).collect())
+    # loc/lastmod trimmed; entry without loc dropped; missing lastmod
+    # -> NULL
+    assert got == [("h.example", "https://h.example/a", "2025-02-03"),
+                   ("h.example", "https://h.example/b", None)]
+
+
+def test_parse_sitemap_multiline_blocks_do_not_bleed(spark):
+    """(?s) block matching is non-greedy: adjacent <url> entries never
+    merge."""
+    xml = ("<urlset>" +
+           "".join(f"<url><loc>https://h.example/p{i}</loc></url>\n"
+                   for i in range(50)) + "</urlset>")
+    df = spark.createDataFrame([("h.example", xml)],
+                               "host string, sitemap_xml string")
+    assert RB.parse_sitemap(df).count() == 50
