@@ -227,3 +227,29 @@ def test_q106_langid_broadcast_profile_single_agg_shuffle(spark, qs):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_q113_crawl_delta_single_join_no_text_shuffle(spark, qs):
+    """Crawl-delta plan shape: ONE full-outer join over the two
+    signature tables, and the join's exchanges carry only the 40-byte
+    signature columns (url/digest/simhash) -- page text never crosses
+    the shuffle (it dies at the localCheckpoint signature barrier)."""
+    plan = plan_of(qs["q113_crawl_delta"](spark, SF))
+    tree = plan.split("\n\n(")[0]   # tree section only (details repeat
+    assert "FullOuter" in plan      # every node once more)
+    assert tree.count("SortMergeJoin") == 1
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1) == "url", m.group(0)
+    assert "text" not in re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan)
+
+
+def test_q114_anchor_aliases_combines_map_side(spark, qs):
+    """Anchor alias plan shape: the (dst, anchor) count aggregates
+    PARTIALLY before its exchange (head targets combine map-side), and
+    the only exchanges are the agg key and the per-dst window key --
+    the raw anchor stream is shuffled exactly once."""
+    plan = plan_of(qs["q114_anchor_text_aliases"](spark, SF))
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
