@@ -736,6 +736,78 @@ def main():
             "detail": {f"local[{lo}]": out[lo], f"local[{hi}]": out[hi]}}, mode="corpus_scaling")
         return
 
+    if "--recrawl-bench" in sys.argv:
+        # Recrawl economics: apply snapshot T1 (N pages), then T2 with
+        # ~10% churn (5% modified via text edit, 5% new urls, 5%
+        # removed), and compare T2's append wall against the one-shot
+        # cost of detecting T2's full live snapshot.  The claim under
+        # test: detection cost follows the CHANGED pages (the 10^12
+        # argument for plans/recrawl), with the ledger overhead
+        # (signatures + delta + ownership) visible, not hidden.
+        from pyspark.sql import functions as F
+        from redactify_spark.plans import recrawl as R
+        from redactify_spark.plans.session import build_session
+        from redactify_spark.sources.pages import synth_pages
+        n = int(os.environ.get("RECRAWL_PAGES", "200000"))
+        spark = build_session(f"bench-recrawl-{CPUS}",
+                              master=f"local[{CPUS}]",
+                              shuffle_partitions=CPUS)
+        root = tempfile.mkdtemp(prefix="bench_recrawl_")
+        # a real recrawl reads a materialized crawl table, not a python
+        # generator: land both snapshots in parquet first (untimed) so
+        # the measured walls are ledger economics, not synth cost
+        pq = tempfile.mkdtemp(prefix="bench_recrawl_pages_")
+        synth_pages(spark, n, partitions=CPUS * 4) \
+            .write.mode("overwrite").parquet(f"{pq}/t1")
+        pages1 = spark.read.parquet(f"{pq}/t1")
+        bucket = F.abs(F.xxhash64("url")) % 20
+        (pages1.where(bucket != 3)                 # ~5% removed
+         .withColumn("text",
+                     F.when(bucket == 5,
+                            F.concat("text", F.lit(" breaking update")))
+                     .otherwise(F.col("text")))
+         .unionByName(synth_pages(spark, n // 20, start=n,
+                                  partitions=CPUS))
+         .write.mode("overwrite").parquet(f"{pq}/t2"))
+        pages2 = spark.read.parquet(f"{pq}/t2")
+
+        t0 = time.time()
+        s1 = R.append_snapshot(spark, root, "t1", pages1)
+        t1_wall = round(time.time() - t0, 1)
+        t0 = time.time()
+        s2 = R.append_snapshot(spark, root, "t2", pages2)
+        t2_wall = round(time.time() - t0, 1)
+        # one-shot comparison: the naive full reprocess of snapshot T2
+        # (detect + triples + persist -- the same deliverables the
+        # append produces, minus the ledger)
+        from redactify_spark.operators.detection import detect_mentions
+        from redactify_spark.operators.triples import all_triples
+        t0 = time.time()
+        m = detect_mentions(pages2, id_col="url", text_col="text")
+        m = m.persist()
+        m.count()
+        all_triples(m, id_col="url").write.mode("overwrite") \
+            .parquet(f"{pq}/oneshot_triples")
+        m.write.mode("overwrite").parquet(f"{pq}/oneshot_mentions")
+        m.unpersist()
+        oneshot_wall = round(time.time() - t0, 1)
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(pq, ignore_errors=True)
+        emit({
+            "metric": "recrawl_append_vs_oneshot_speedup",
+            "value": round(oneshot_wall / t2_wall, 2), "unit": "x",
+            "sf": SF_DIR, "queries": {},
+            "detail": {
+                "n_pages": n, "t1_append_sec": t1_wall,
+                "t2_append_sec": t2_wall,
+                "t2_detected_urls": s2["detected_urls"],
+                "t2_delta": s2["delta"],
+                "oneshot_full_reprocess_sec": oneshot_wall,
+                "t1_detected_urls": s1["detected_urls"],
+            }}, mode="recrawl")
+        spark.stop()
+        return
+
     if "--weblinks-scaling" in sys.argv:
         # Web-link-graph scaling: synth html -> href extraction -> host
         # graph -> weighted host PageRank, the SAME job at two

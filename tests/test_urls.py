@@ -139,3 +139,19 @@ def test_crawl_delta_partition_invariant(spark):
     b = {r.url: (r.status, r.hamming)
          for r in U.crawl_delta(old1, new1).collect()}
     assert a == b
+
+
+def test_snapshot_signature_engine_parity(spark):
+    """The Arrow-batched numpy majority fold is BIT-IDENTICAL to the
+    native per-bit aggregate folds on every signature column --
+    including empty, null, unicode, and single-token texts."""
+    rows = [(f"u{i}", f"some page text number {i} " * (i % 7))
+            for i in range(40)]
+    rows += [("empty", ""), ("null", None), ("one", "token"),
+             ("uni", "café 中文 mixed ascii")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    a = {r.url: (r.digest, r.simhash)
+         for r in U.snapshot_signature(df, engine="pandas").collect()}
+    b = {r.url: (r.digest, r.simhash)
+         for r in U.snapshot_signature(df, engine="native").collect()}
+    assert a == b and len(a) == len(rows)
