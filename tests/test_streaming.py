@@ -498,3 +498,70 @@ def test_bucketed_sink_probe_failure_is_logged(spark, tmp_path, caplog):
     # fall-back contract intact: no eager table, and the empty source
     # never produced a batch to create it lazily either
     assert not spark.catalog.tableExists(table)
+
+
+def test_recrawl_delta_stream_matches_batch_classifier(spark, tmp_path):
+    """Streaming recrawl classification == the batch crawl_delta
+    restricted to recrawled urls, across multiple micro-batches
+    (maxFilesPerTrigger=1), with exactly-once from the bucketed sink."""
+    from redactify_spark.operators.urls import (crawl_delta,
+                                                snapshot_signature)
+    from redactify_spark.streaming.recrawl_stream import \
+        recrawl_delta_stream
+
+    import shutil as _sh
+    spark.sql("drop table if exists recrawl_deltas")
+    _sh.rmtree(spark.conf.get("spark.sql.warehouse.dir")
+               .removeprefix("file:") + "/recrawl_deltas",
+               ignore_errors=True)
+
+    old_rows = [(f"https://s{i % 4}.example/p{i}",
+                 f"page body number {i} " * 8) for i in range(40)]
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    sig_path = str(tmp_path / "ledger_sigs")
+    snapshot_signature(old).write.parquet(sig_path)
+
+    # recrawl stream: batch A = urls 0..19 (some touched/modified),
+    # batch B = urls 20..29 unchanged + 5 brand-new urls
+    def churn(i, t):
+        if i % 5 == 1:
+            return t + "  "                      # touched (hamming 0)
+        if i % 5 == 2:
+            return "entirely different body " * 6  # modified
+        return t
+    rows_a = [(u, churn(i, t)) for i, (u, t) in enumerate(old_rows[:20])]
+    rows_b = [(u, t) for u, t in old_rows[20:30]] + \
+             [(f"https://s9.example/n{i}", f"fresh page {i}")
+              for i in range(5)]
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(str(tmp_path / "in"), exist_ok=True)
+    for name, rows in (("a.parquet", rows_a), ("b.parquet", rows_b)):
+        pq.write_table(
+            pa.table({"url": pa.array([r[0] for r in rows], pa.string()),
+                      "text": pa.array([r[1] for r in rows],
+                                       pa.string())}),
+            str(tmp_path / "in" / name))
+
+    stream = (spark.readStream.schema("url string, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "in")))
+    q = recrawl_delta_stream(stream, sig_path, "recrawl_deltas",
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.url: (r.status, r.hamming)
+           for r in spark.table("recrawl_deltas").collect()}
+    recrawled = spark.createDataFrame(rows_a + rows_b,
+                                      "url string, text string")
+    expected = {r.url: (r.status, r.hamming)
+                for r in crawl_delta(old, recrawled).collect()
+                if r.status != "removed"}
+    assert got == expected
+    assert len(got) == 35
+    statuses = {s for s, _ in got.values()}
+    assert statuses == {"unchanged", "touched", "modified", "added"}
+    spark.sql("drop table if exists recrawl_deltas")
