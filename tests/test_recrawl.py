@@ -157,3 +157,29 @@ def test_tombstoned_urls_leave_the_graph(applied, spark):
             R.current_triples(spark, root).select("prov_doc").distinct()
             .collect()}
     assert prov.isdisjoint(removed)
+
+
+def test_append_resumes_after_mid_pipeline_kill(spark, tmp_path):
+    """Kill-resume: wipe the ownership stage (the LAST step of an
+    append, as if the job died right before it) and re-append -- the
+    earlier stages short-circuit off their manifests and the final
+    state is byte-equal to the uninterrupted run."""
+    import shutil
+
+    root = str(tmp_path / "resume")
+    R.append_snapshot(spark, root, "t1", _pages(spark, range(60)))
+    R.append_snapshot(spark, root, "t2", _snap2(spark))
+    want = _collect(R.current_mentions(spark, root))
+    own_dir = f"{root}/state/t2/ownership"
+    before = spark.read.parquet(own_dir + "/data").count()
+    shutil.rmtree(own_dir)
+
+    # manifests of signatures/delta/mentions/triples still present ->
+    # resume recomputes ONLY ownership
+    import json
+    s2 = R.append_snapshot(spark, root, "t2", _snap2(spark))
+    m = json.load(open(f"{root}/tranches/t2/mentions/_manifest.json"))
+    assert m["status"] == "complete"
+    assert spark.read.parquet(own_dir + "/data").count() == before
+    assert _collect(R.current_mentions(spark, root)) == want
+    assert s2["delta"]["added"] == 10
