@@ -181,9 +181,13 @@ def resolve_redirects(redirects: DataFrame, src: str = "src",
 # anchor-text alias aggregation
 # ---------------------------------------------------------------------------
 
-# href + its anchor text up to the closing tag; [^<]* keeps the scan
-# linear (no backtracking) and skips anchors containing nested markup
-_ANCHOR_RE = re.compile(rb"href=\"(https?://[^\"]+)\"\s*>([^<]*)<")
+# href + its anchor text up to the closing tag.  [^<>]* tolerates
+# attributes after href (rel/target/class) WITHOUT crossing a tag
+# boundary -- a plain [^>]* would walk through entity-escaped body text
+# (&gt;...) and mint anchors for url-shaped strings a page merely
+# quotes (pinned by the injection test); [^<]* keeps the scan linear
+# and skips anchors containing nested markup
+_ANCHOR_RE = re.compile(rb"href=\"(https?://[^\"]+)\"[^<>]*>([^<]*)<")
 
 
 def extract_page_anchors(html_bytes: bytes) -> list[tuple[str, str]]:

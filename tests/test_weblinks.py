@@ -246,3 +246,15 @@ def test_resolve_redirects_fixed_budget_no_early_exit(spark):
          for r in W.resolve_redirects(df, max_doubling=5,
                                       early_exit=False).collect()}
     assert a == b
+
+
+def test_extract_page_anchors_tolerates_attributes():
+    """Real-web anchors carry attributes after href (rel/target/class);
+    the anchor pairing must survive them."""
+    html = (b'<html><body>'
+            b'<a href="https://a.example/1" rel="nofollow">Acme</a>'
+            b'<a href="https://b.example/2" target="_blank" class="x">B</a>'
+            b'</body></html>')
+    assert W.extract_page_anchors(html) == [
+        ("https://a.example/1", "Acme"),
+        ("https://b.example/2", "B")]
