@@ -1763,9 +1763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     agent="redactify-bot", url_col="dst")
                    .where("allowed").drop("allowed"))
         pr = W.host_pagerank(W.host_graph(links))
+        # LEFT join: a candidate on a host absent from the link graph
+        # must stay in the frontier at the dangling-host base rank
+        # (1-d), not silently vanish (ADVICE r5)
         ranked = (allowed
                   .withColumn("host", W.host_expr(F.col("dst")))
-                  .join(pr, "host"))
+                  .join(pr, "host", "left")
+                  .withColumn("rank", F.coalesce("rank", F.lit(0.15))))
         w = Window.partitionBy("host").orderBy(F.col("n_inlinks").desc(),
                                                F.col("dst"))
         return (ranked.withColumn("rk", F.row_number().over(w))
