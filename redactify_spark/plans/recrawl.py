@@ -238,3 +238,58 @@ def refresh_graph(spark: SparkSession, root: str,
     return {"mentions": mentions, "triples": current_triples(spark, root),
             "match_edges": medges, "canonical": canon,
             "nodes": nodes, "edges": edges}
+
+
+def compact_ledger(spark: SparkSession, root: str,
+                   compacted_id: str | None = None,
+                   prune: bool = True) -> str:
+    """Rewrite the LIVE mention/triple sets into one fresh tranche and
+    reset the ledger to it -- the periodic maintenance that bounds
+    `_live_rows`' union cost (O(all mentions ever written) after K
+    snapshots) back to O(live mentions).
+
+    Tombstoned urls are forgotten entirely: the delta only ever diffs
+    against live signatures, so dropping dead rows changes no future
+    verdict (a resurrected url re-detects as `added`, the documented
+    semantics).  `prune=True` deletes the superseded tranche/state
+    directories after the ledger flips; the flip itself is the atomic
+    ledger-file replace, so a crash mid-prune leaves orphan dirs, never
+    a wrong live set.
+
+    Returns the compacted tranche id."""
+    import shutil
+
+    seq = read_ledger(root)
+    if not seq:
+        raise ValueError(f"nothing to compact under {root}")
+    cid = compacted_id or f"compact_{seq[-1]}"
+    if cid in seq:
+        raise ValueError(f"tranche id {cid} already applied")
+    live_m = current_mentions(spark, root)
+    live_t = current_triples(spark, root)
+    last_own = _ownership(spark, root, seq[-1]).where("alive")
+
+    troot = os.path.join(root, "tranches", cid)
+    run_stage(spark, troot, "signatures",
+              lambda: last_own.select("url", "digest", "simhash"))
+    run_stage(spark, troot, "mentions",
+              lambda: live_m.withColumn("_tranche", F.lit(cid)))
+    run_stage(spark, troot, "triples",
+              lambda: live_t.withColumn("_tranche", F.lit(cid)))
+    run_stage(spark, os.path.join(root, "state", cid), "ownership",
+              lambda: last_own.select(
+                  "url", F.lit(cid).alias("owner"), "digest", "simhash",
+                  F.lit(True).alias("alive")))
+
+    old = list(seq)
+    tmp = _ledger_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"tranches": [cid]}, f, indent=1)
+    os.replace(tmp, _ledger_path(root))
+    if prune:
+        for t in old:
+            shutil.rmtree(os.path.join(root, "tranches", t),
+                          ignore_errors=True)
+            shutil.rmtree(os.path.join(root, "state", t),
+                          ignore_errors=True)
+    return cid

@@ -183,3 +183,37 @@ def test_append_resumes_after_mid_pipeline_kill(spark, tmp_path):
     assert spark.read.parquet(own_dir + "/data").count() == before
     assert _collect(R.current_mentions(spark, root)) == want
     assert s2["delta"]["added"] == 10
+
+
+def test_compaction_preserves_live_sets_and_future_appends(spark,
+                                                           tmp_path):
+    """compact_ledger rewrites the live sets into one tranche, resets
+    the ledger, prunes superseded dirs -- and the NEXT append diffs
+    against the compacted signatures exactly as it would have against
+    the full history."""
+    import os
+
+    root = str(tmp_path / "compact")
+    R.append_snapshot(spark, root, "t1", _pages(spark, range(60)))
+    R.append_snapshot(spark, root, "t2", _snap2(spark))
+    want_m = _collect(R.current_mentions(spark, root))
+    want_t = _collect(R.current_triples(spark, root))
+
+    cid = R.compact_ledger(spark, root)
+    assert R.read_ledger(root) == [cid]
+    assert not os.path.exists(f"{root}/tranches/t1")
+    assert not os.path.exists(f"{root}/state/t2")
+    assert _collect(R.current_mentions(spark, root)) == want_m
+    assert _collect(R.current_triples(spark, root)) == want_t
+
+    # T3 over the compacted ledger: exactly one page modified
+    t3 = _snap2(spark).withColumn(
+        "text", F.when(F.col("url").endswith("p0"),
+                       F.lit("Bob Stone now leads Stark Systems, "
+                             "mail bob@stark.example."))
+        .otherwise(F.col("text")))
+    s3 = R.append_snapshot(spark, root, "t3", t3)
+    assert s3["delta"]["modified"] == 1 and s3["detected_urls"] == 1
+    from redactify_spark.operators.detection import detect_mentions
+    assert _collect(R.current_mentions(spark, root)) == _collect(
+        detect_mentions(t3, id_col="url", text_col="text"))
