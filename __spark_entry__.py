@@ -1828,6 +1828,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("host", "url", "lastmod")
                 .orderBy("host", "url"))
 
+    def q118_crawl_delays(spark, sf):
+        """Crawl-delay extraction: per-(host, agent-group) politeness
+        delays parsed from ACTUAL robots bodies (max-of-duplicates,
+        non-numeric dropped) -- the input to per-host fetch budgets.
+        Oracle emits the expected rows from the generation
+        arithmetic."""
+        from redactify_spark.operators.robots import crawl_delays
+        h = spark.range(24).select(F.col("id").alias("h"))
+        body = F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.col("h") % 7 + 5).cast("string"), F.lit("\n"),
+            F.when(F.col("h") % 3 == 0,
+                   F.lit("User-agent: redactify-bot\n"
+                         "Crawl-delay: 1.5\n")).otherwise(F.lit("")))
+        robots = h.select(
+            F.concat(F.lit("cd"), F.col("h").cast("string"),
+                     F.lit(".example")).alias("host"),
+            body.alias("robots_txt"))
+        return (crawl_delays(robots)
+                .select("host", "agent",
+                        F.round("delay_sec", 6).alias("delay_sec"))
+                .orderBy("host", "agent"))
+
     def q113_crawl_delta(spark, sf):
         """Recrawl snapshot diff: classify every url across two crawl
         snapshots as unchanged / touched (simhash hamming <= 3) /
@@ -1989,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_robots_permission": q115_robots_permission,
         "q116_crawl_frontier": q116_crawl_frontier,
         "q117_sitemap_parse": q117_sitemap_parse,
+        "q118_crawl_delays": q118_crawl_delays,
     }
     # The driver's correctness harness walks the registry in insertion
     # order and checks only the first 50 entries.  Keep every
@@ -2974,6 +2998,20 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '2025-01-' || lpad(CAST(k + 1 AS VARCHAR), 2, '0')
                END AS lastmod
         FROM ks ORDER BY host, url
+    """
+
+    # ---- q118: crawl-delay extraction ---------------------------------------
+    sql["q118_crawl_delays"] = """
+        WITH hs AS (SELECT CAST(range AS BIGINT) AS h FROM range(0, 24))
+        SELECT 'cd' || CAST(h AS VARCHAR) || '.example' AS host,
+               '*' AS agent,
+               round(CAST(h % 7 + 5 AS DOUBLE), 6) AS delay_sec
+        FROM hs
+        UNION ALL
+        SELECT 'cd' || CAST(h AS VARCHAR) || '.example',
+               'redactify-bot', 1.5
+        FROM hs WHERE h % 3 = 0
+        ORDER BY host, agent
     """
 
     # ---- q112: redirect-chain resolution --------------------------------

@@ -43,16 +43,13 @@ from redactify_spark.operators.weblinks import host_expr
 _DIRECTIVE = r"^\s*([A-Za-z-]+)\s*:\s*([^#]*?)\s*(?:#.*)?$"
 
 
-def parse_robots(robots: DataFrame, host_col: str = "host",
-                 body_col: str = "robots_txt") -> DataFrame:
-    """(host, agent, rule, path_prefix, line_no): one row per
-    Allow/Disallow directive, tagged with the user-agent group it
-    belongs to.  Group membership = most recent User-agent line(s)
-    above the rule; consecutive User-agent lines share the following
-    rules only in the sense that EACH agent value opens its own group
-    tag -- this parser keeps the LAST one, the documented
-    simplification (multi-agent group headers are rare; the `*` group
-    almost always exists alongside)."""
+def _tagged_directives(robots: DataFrame, host_col: str,
+                       body_col: str) -> DataFrame:
+    """(host, line_no, _name, _value, agent): every directive line
+    tagged with its user-agent group (most recent User-agent line
+    above; consecutive User-agent headers keep the LAST one -- the
+    documented simplification, multi-agent headers are rare and the
+    `*` group almost always exists alongside)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), r"\r?\n"))
@@ -63,10 +60,18 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         F.regexp_extract("line", _DIRECTIVE, 2).alias("_value"))
     w = (Window.partitionBy("host").orderBy("line_no")
          .rowsBetween(Window.unboundedPreceding, 0))
-    tagged = parsed.withColumn(
+    return parsed.withColumn(
         "agent",
         F.last(F.when(parsed["_name"] == "user-agent",
                       F.lower(F.col("_value"))), ignorenulls=True).over(w))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, agent, rule, path_prefix, line_no): one row per
+    Allow/Disallow directive, tagged with its user-agent group (see
+    _tagged_directives)."""
+    tagged = _tagged_directives(robots, host_col, body_col)
     rules = (tagged
              .where(F.col("_name").isin("allow", "disallow") &
                     F.col("agent").isNotNull() & (F.col("_value") != ""))
@@ -187,3 +192,22 @@ def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
                             "_b", r"<lastmod>\s*([^<]*?)\s*</lastmod>", 1),
                         F.lit("")).alias("lastmod"))
             .where(F.col("url") != ""))
+
+
+def crawl_delays(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, agent, delay_sec): Crawl-delay directives per user-agent
+    group -- the input to per-host fetch budgets (a host's budget =
+    3600/delay pages/hour for the planning agent's group).  Non-numeric
+    values are dropped; duplicate directives in one group keep the
+    LARGEST delay (the conservative read).  Same two-tier agent
+    resolution as crawl_permission applies downstream: prefer the
+    specific group's row, else '*'."""
+    tagged = _tagged_directives(robots, host_col, body_col)
+    return (tagged
+            .where((F.col("_name") == "crawl-delay") &
+                   F.col("agent").isNotNull() &
+                   F.col("_value").rlike(r"^\d+(\.\d+)?$"))
+            .groupBy("host", "agent")
+            .agg(F.max(F.col("_value").cast("double"))
+                 .alias("delay_sec")))

@@ -163,3 +163,16 @@ def test_parse_sitemap_multiline_blocks_do_not_bleed(spark):
     df = spark.createDataFrame([("h.example", xml)],
                                "host string, sitemap_xml string")
     assert RB.parse_sitemap(df).count() == 50
+
+
+def test_crawl_delays_groups_and_validation(spark):
+    body = ("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+            "Crawl-delay: 4\n"                 # same group: max wins
+            "User-agent: FastBot\nCRAWL-DELAY: 0.5\n"
+            "User-agent: BadBot\nCrawl-delay: soon\n")  # non-numeric
+    df = spark.createDataFrame([("h.example", body)],
+                               "host string, robots_txt string")
+    got = {(r.host, r.agent, r.delay_sec)
+           for r in RB.crawl_delays(df).collect()}
+    assert got == {("h.example", "*", 10.0),
+                   ("h.example", "fastbot", 0.5)}
