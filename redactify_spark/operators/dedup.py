@@ -32,6 +32,7 @@ from redactify_spark.operators.linking import (MAX_BUCKET,
                                                minhash_signature,
                                                normalize_surface,
                                                band_signatures)
+from redactify_spark.operators.partitioning import spread_for_cpu
 
 MAX_NGRAM_BLOCK = 1024  # quadratic-pair cap per block (C(1024,2) ~ 500k)
 PAIR_SPLIT = 8  # pair-space split: join parallelism = n_blocks * PAIR_SPLIT
@@ -66,12 +67,17 @@ _DOC_BANDS_SCHEMA = T.StructType([
 
 
 def _word_shingles(text: str, k: int = 3) -> set[int]:
+    # int.from_bytes(digest[:8]) >> 4 == int(hexdigest()[:15], 16): the
+    # first 60 bits either way, without building/parsing a hex string
+    # (pinned by the fuzz-equivalence test).
+    md5 = hashlib.md5
     words = normalize_surface(text).split()
     if len(words) < k:
         joined = " ".join(words)
-        return {int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)}
-    return {int(hashlib.md5(" ".join(words[i:i + k]).encode())
-                .hexdigest()[:15], 16)
+        return {int.from_bytes(md5(joined.encode()).digest()[:8],
+                               "big") >> 4}
+    return {int.from_bytes(md5(" ".join(words[i:i + k]).encode())
+                           .digest()[:8], "big") >> 4
             for i in range(len(words) - k + 1)}
 
 
@@ -88,8 +94,10 @@ def doc_minhash_bands(docs: DataFrame, text_col: str = "text",
                     sigs.append(s & 0x7FFFFFFFFFFFFFFF)
             yield pd.DataFrame({"doc_id": ids, "band": bands, "sig": sigs})
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        mh, schema=_DOC_BANDS_SCHEMA)
+    # a single-file corpus scan is ONE partition -> the kernel pass runs
+    # on one core; spread it (no-op on well-partitioned inputs)
+    sel = spread_for_cpu(docs.select("doc_id", text_col), "doc_id")
+    return sel.mapInPandas(mh, schema=_DOC_BANDS_SCHEMA)
 
 
 def minhash_candidates(bands: DataFrame,
@@ -104,38 +112,59 @@ def minhash_candidates(bands: DataFrame,
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
 
 
+_DOC_SHINGLES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sh", T.ArrayType(T.LongType())),
+])
+
+
+def _doc_shingle_sets(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, sh): each doc's word-shingle hash set as a sorted array
+    -- computed ONCE per doc (the old verify re-shingled both texts for
+    every candidate pair the doc appeared in)."""
+    def sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sh": [sorted(_word_shingles(t or "", k))
+                       for t in pdf[text_col]],
+            })
+
+    sel = spread_for_cpu(docs.select("doc_id", text_col), "doc_id")
+    return sel.mapInPandas(sh, schema=_DOC_SHINGLES_SCHEMA)
+
+
 def verify_jaccard(pairs: DataFrame, docs: DataFrame,
                    text_col: str = "text", k: int = 3) -> DataFrame:
-    """Join texts back and compute exact word-shingle Jaccard per pair."""
-    ta = docs.select(F.col("doc_id").alias("id_a"),
-                     F.col(text_col).alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("id_b"),
-                     F.col(text_col).alias("text_b"))
-    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    """Exact word-shingle Jaccard per candidate pair.
 
-    schema = T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType()),
-        T.StructField("jaccard", T.DoubleType()),
-    ])
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ja = []
-            for t1, t2 in zip(pdf["text_a"], pdf["text_b"]):
-                s1, s2 = _word_shingles(t1 or "", k), _word_shingles(t2 or "", k)
-                inter = len(s1 & s2)
-                ja.append(inter / (len(s1) + len(s2) - inter) if inter else 0.0)
-            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                                "jaccard": ja})
-
-    return joined.mapInPandas(score, schema=schema)
+    Shingles each doc that appears in >=1 pair exactly once (Python
+    kernel pass over the docs-in-pairs subset), then verifies natively:
+    |a n b| via array_intersect in whole-stage codegen.  Same hash sets
+    -> same integer cardinalities -> bit-identical double division."""
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    need = docs.select("doc_id", text_col).join(ids, "doc_id")
+    sh = _doc_shingle_sets(need, text_col, k)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    denom = F.size("_sh_a") + F.size("_sh_b") - inter
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.when(inter > 0,
+                           inter.cast("double") / denom.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("jaccard")))
 
 
 def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.7, k: int = 3) -> DataFrame:
     bands = doc_minhash_bands(docs, text_col, k)
-    cands = minhash_candidates(bands)
+    # verify consumes the pair table three times (two shingle joins +
+    # the ids subset); cut its lineage so the banding kernel + LSH join
+    # run once, not three times
+    cands = minhash_candidates(bands).localCheckpoint(eager=False)
     return (verify_jaccard(cands, docs, text_col, k)
             .where(F.col("jaccard") >= threshold))
 

@@ -108,7 +108,9 @@ def detect_mentions(df: DataFrame,
                     rec["pseudo_key"].append(_pseudo_key(surface, etype))
             yield pd.DataFrame(rec)
 
-    return df.select(*keep, text_col).mapInPandas(scan, schema=out_schema)
+    from redactify_spark.operators.partitioning import spread_for_cpu
+    sel = spread_for_cpu(df.select(*keep, text_col), id_col)
+    return sel.mapInPandas(scan, schema=out_schema)
 
 
 def anonymize_documents(df: DataFrame,

@@ -245,8 +245,19 @@ def lang_id_ngram(docs: DataFrame, text_col: str = "text",
     rows, _ = build_profiles()
     prof = spark.createDataFrame(rows, "ngram string, lang string, "
                                        "logp_micro long")
-    norm = normalize_expr(F.col(text_col))
-    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    def tris_over(col_name: str):
+        norm = normalize_expr(F.col(col_name))
+        padded = F.concat(F.lit(" "), norm, F.lit(" "))
+        chars = F.split(padded, "")
+        n = F.size(chars)
+        return F.when(
+            norm == "", F.array().cast("array<string>")
+        ).otherwise(F.zip_with(
+            F.zip_with(F.slice(chars, 1, n - 2), F.slice(chars, 2, n - 2),
+                       lambda a, b: F.concat(a, b)),
+            F.slice(chars, 3, n - 2),
+            lambda ab, c: F.concat(ab, c)))
+
     # Trigrams as zip_with over three shifted slices of a one-time
     # codepoint-array split.  TWO quadratic traps live here and both
     # are avoided: (a) substring(padded, i, 3) per position seeks from
@@ -258,17 +269,16 @@ def lang_id_ngram(docs: DataFrame, text_col: str = "text",
     # higher-order-function ARGUMENTS evaluate the split a constant
     # number of times: O(len) per document (the char-level sibling of
     # the r4 _stored_tokens word-gram fix).
-    chars = F.split(padded, "")
-    n = F.size(chars)
-    tris = F.when(
-        norm == "", F.array().cast("array<string>")
-    ).otherwise(F.zip_with(
-        F.zip_with(F.slice(chars, 1, n - 2), F.slice(chars, 2, n - 2),
-                   lambda a, b: F.concat(a, b)),
-        F.slice(chars, 3, n - 2),
-        lambda ab, c: F.concat(ab, c)))
-    exploded = (docs.select(F.col(id_col).alias("doc_id"),
-                            F.explode(tris).alias("ngram")))
+    # the trigram build (split + two zip_with concats per codepoint) is
+    # the expensive stage and runs BEFORE any exchange: fed by a
+    # single-file scan it would execute on one core (guide §2 -- 42.6 s
+    # measured on 50k docs at local[32]); spread the scan first
+    from redactify_spark.operators.partitioning import spread_for_cpu
+    src = spread_for_cpu(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_lid_text")), "doc_id")
+    exploded = src.select("doc_id", F.explode(tris_over("_lid_text"))
+                          .alias("ngram"))
     scores = (exploded.join(F.broadcast(prof), "ngram")
               .groupBy("doc_id", "lang")
               .agg(F.sum("logp_micro").alias("score_micro"),

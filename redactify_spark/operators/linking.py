@@ -26,6 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from typing import Iterator
 
@@ -49,18 +50,18 @@ _B = np.array([int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16)
                for i in range(N_HASHES)], dtype=np.uint64)
 
 
+# runs of non-alphanumerics.  re's \w is exactly str.isalnum() plus
+# underscore (CPython SRE_UNI_IS_WORD), so [\W_]+ matches precisely the
+# characters the old per-char isalnum() loop replaced -- pinned by the
+# fuzz-equivalence test against the loop reference.
+_NON_ALNUM_RUN = re.compile(r"[\W_]+")
+
+
 def normalize_surface(s: str) -> str:
-    """Lowercase, strip non-alphanumerics to single spaces (pure fn)."""
-    out = []
-    prev_space = True
-    for ch in s.lower():
-        if ch.isalnum():
-            out.append(ch)
-            prev_space = False
-        elif not prev_space:
-            out.append(" ")
-            prev_space = True
-    return "".join(out).strip()
+    """Lowercase, strip non-alphanumerics to single spaces (pure fn).
+    One compiled-regex pass instead of a per-character Python loop
+    (~20x on kernel-heavy stages; identical output)."""
+    return _NON_ALNUM_RUN.sub(" ", s.lower()).strip()
 
 
 SHINGLE_K = 2
