@@ -864,7 +864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from redactify_spark.operators import graph_algs as G
         li = _t(spark, sf, "lineitem")
         cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-        ranks = G.pagerank(G.symmetrize(cooc), iterations=5)
+        # symmetrize() output is dropDuplicates'd -> skip pagerank's
+        # defensive re-dedup (one full edge shuffle; identical result)
+        ranks = G.pagerank(G.symmetrize(cooc, assume_oriented=True),
+                           iterations=5, assume_distinct=True)
         return (ranks.select(F.col("node").cast("long").alias("node"),
                              F.round("rank", 6).alias("rank"))
                 .orderBy("node"))
@@ -1616,7 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from redactify_spark.operators import graph_algs as G
         li = _t(spark, sf, "lineitem")
         cooc = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-        return (G.label_propagation(cooc, iterations=5)
+        return (G.label_propagation(cooc, iterations=5,
+                                    edges_oriented=True)
                 .select(F.col("node").cast("long").alias("node"),
                         F.col("label").cast("long").alias("label"))
                 .orderBy("node"))

@@ -48,7 +48,12 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
                       F.col(item_col).alias("_i")).distinct()
     sized = pairs.withColumn(
         "_n", F.count("*").over(Window.partitionBy("_g")))
-    pairs = sized.where(F.col("_n") <= max_group).drop("_n")
+    # persist the capped frame: the self-join below consumes it twice
+    # (without this the distinct + window subtree runs once per side),
+    # and the persisted hash(_g) partitioning from the window's
+    # exchange makes the self-join exchange-free on BOTH sides
+    pairs = (sized.where(F.col("_n") <= max_group).drop("_n")
+             .persist())
     a = pairs.select("_g", F.col("_i").alias("src"))
     b = pairs.select("_g", F.col("_i").alias("dst"))
     return (a.join(b, "_g")
@@ -66,19 +71,25 @@ def wide_cooccurrence_group_count(df: DataFrame, group_col: str,
 
 
 def symmetrize(edges: DataFrame, src: str = "src",
-               dst: str = "dst") -> DataFrame:
-    """Both directions of an undirected edge list, deduplicated."""
-    return (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+               dst: str = "dst", assume_oriented: bool = False) -> DataFrame:
+    """Both directions of an undirected edge list, deduplicated.
+
+    `assume_oriented=True` skips the dedup shuffle when the caller
+    guarantees the input is distinct and canonically oriented
+    (src < dst, e.g. cooccurrence_edges output): the two union halves
+    then cannot collide, so the result is identical."""
+    both = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .unionByName(edges.select(F.col(dst).alias("src"),
-                                      F.col(src).alias("dst")))
-            .dropDuplicates(["src", "dst"]))
+                                      F.col(src).alias("dst"))))
+    return both if assume_oriented else both.dropDuplicates(["src", "dst"])
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping: float = 0.85,
              weight: str | None = None,
              checkpoint_every: int = 2,
-             reliable_checkpoint: bool = False) -> DataFrame:
+             reliable_checkpoint: bool = False,
+             assume_distinct: bool = False) -> DataFrame:
     """(node, rank) after `iterations` rounds of
     rank(v) = (1-d) + d * sum_{u->v} rank(u) * w(u,v) / W(u),
     all ranks starting at 1.0 (GraphX convention; dangling nodes hold
@@ -87,7 +98,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     weights (co-mention counts in the KG salience stage).  Fixed
     iteration count keeps the result deterministic and the oracle
     unrollable; convergence-driven stopping is a trivial wrapper
-    (iterate until max |delta| < eps)."""
+    (iterate until max |delta| < eps).
+
+    `assume_distinct=True` skips the defensive edge dedup when the
+    caller guarantees (src, dst) rows are already unique (e.g. the
+    output of symmetrize()) -- one full shuffle of the edge table
+    saved, identical result."""
     def cut(df: DataFrame) -> DataFrame:
         # lazy local cuts: each frame still computes exactly once and
         # truncates lineage, but materializes inside the next consuming
@@ -98,8 +114,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 else df.localCheckpoint(eager=False))
 
     if weight is None:
-        e = edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct()
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if not assume_distinct:
+            e = e.distinct()
     else:
         e = (edges.groupBy(F.col(src).alias("src"),
                            F.col(dst).alias("dst"))
@@ -108,7 +125,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
-    nodes = cut(nodes)
+    # nodes is joined every round on `node`: persist it WITH hash
+    # partitioning and sort order (a localCheckpoint drops
+    # outputPartitioning -- observed UnknownPartitioning(0) -- and
+    # every round would re-exchange + re-sort it)
+    n_shuffle = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    nodes = (nodes.repartition(n_shuffle, "node")
+             .sortWithinPartitions("node").persist())
     if weight is None:
         outdeg = e.groupBy("src").agg(
             F.count("*").cast("double").alias("_wsum"))
@@ -116,10 +140,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     else:
         outdeg = e.groupBy("src").agg(F.sum("_ew").alias("_wsum"))
     # contribution edges with the w/W factor pre-attached: computed
-    # once, reused every round
-    contrib_e = cut(e.join(outdeg, "src")
-                    .select("src", "dst",
-                            (F.col("_ew") / F.col("_wsum")).alias("_w")))
+    # once, reused every round.  Hash-partitioned by `src` (the
+    # per-round join key) and persisted so NO round re-shuffles the
+    # edge table -- the only per-round exchange left is the combinable
+    # contribution sum keyed by dst (guide §2.4: establish the
+    # partitioning once).
+    # ... and pre-SORTED by src: the cached InMemoryRelation reports
+    # both outputPartitioning and outputOrdering, so the per-round
+    # sort-merge join needs neither an exchange nor a sort on the
+    # (large) edge side -- only the node-sized ranks side shuffles.
+    contrib_e = (e.join(outdeg, "src")
+                 .select("src", "dst",
+                         (F.col("_ew") / F.col("_wsum")).alias("_w"))
+                 .repartition(n_shuffle, "src")
+                 .sortWithinPartitions("src")
+                 .persist())
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
@@ -476,7 +511,8 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
 def label_propagation(edges: DataFrame, src: str = "src",
                       dst: str = "dst", iterations: int = 5,
                       checkpoint_every: int = 2,
-                      reliable_checkpoint: bool = False) -> DataFrame:
+                      reliable_checkpoint: bool = False,
+                      edges_oriented: bool = False) -> DataFrame:
     """(node, label): community detection by SYNCHRONOUS label
     propagation with a deterministic tie-break.  label_0(v) = v; each
     round every node adopts the most frequent label among its
@@ -495,7 +531,15 @@ def label_propagation(edges: DataFrame, src: str = "src",
         return (df.checkpoint() if reliable_checkpoint
                 else df.localCheckpoint(eager=False))
 
-    sym = cut(symmetrize(edges, src, dst))
+    # the symmetric edge table is joined every round on `dst`:
+    # hash-partition it by dst ONCE and persist (persist keeps the
+    # partitioning; a localCheckpoint drops it and every round would
+    # re-shuffle the full edge table -- guide §2.4)
+    n_shuffle = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    sym = (symmetrize(edges, src, dst, assume_oriented=edges_oriented)
+           .repartition(n_shuffle, "dst")
+           .sortWithinPartitions("dst").persist())
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))

@@ -69,3 +69,25 @@ def test_word_shingles_matches_hex_reference():
     for s in cases:
         assert _word_shingles(s) == _word_shingles_hex(s), repr(s)
         assert _word_shingles(s, k=2) == _word_shingles_hex(s, k=2), repr(s)
+
+
+def test_langid_numpy_scorer_matches_exploded(spark):
+    """The r6 vectorized numpy langid scorer must be row-identical to
+    the all-native explode/join formulation it replaced (which is also
+    the shape the q104 DuckDB oracle mirrors)."""
+    from redactify_spark.operators.langid import (LANG_SAMPLES,
+                                                  lang_id_ngram,
+                                                  lang_id_ngram_exploded)
+
+    rows = [(i, s) for i, s in enumerate(LANG_SAMPLES.values())]
+    rows += [
+        (100, ""), (101, None), (102, "12345 !!! ###"), (103, "   \t "),
+        (104, "the the the aaa"), (105, "x"),
+        (106, "mixed english text with 数字 and عربية inside"),
+        (107, "ÄÖÜ großes Straßenfest in münchen"),
+        (108, "ёлка и ґанок під київським небом"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, lang_id_ngram(df).collect()))
+    b = sorted(map(tuple, lang_id_ngram_exploded(df).collect()))
+    assert a == b
