@@ -199,40 +199,51 @@ def _password_composite_spans(text: str):
         pos += len(line) + 1
 
 
+# flat per-rule tuples (compiled, prefilter, context, type,
+# is_password_composite): hoists the per-doc-per-rule dict lookups to
+# load time.  Same bank, same order.
+_BANK_T = [(d["compiled"], d.get("prefilter"), d.get("context"),
+            d["type"], d["pattern"] == _PASSWORD_COMPOSITE_SRC)
+           for d in _COMPILED_BANK]
+
+
 def detect_regex(text: str) -> list[dict]:
     out = []
     text_lower = text.lower()
     tokens: list[tuple[int, int]] | None = None
-    for pdef in _COMPILED_BANK:
-        if not _passes_prefilter(pdef, text_lower):
-            continue
-        if pdef.get("context") and tokens is None and ENABLE_PREFILTERS:
+    prefilters_on = ENABLE_PREFILTERS
+    for compiled, pf, context, ptype, is_pw in _BANK_T:
+        if prefilters_on and pf is not None:
+            # inline _passes_prefilter without a genexpr frame
+            for lit in pf:
+                if lit in text_lower:
+                    break
+            else:
+                continue
+        if context and tokens is None and prefilters_on:
             tokens = [(m.start(), m.end())
                       for m in _TOKEN_RE.finditer(text)]
-        if ENABLE_PREFILTERS and pdef["pattern"] == _PASSWORD_COMPOSITE_SRC:
-            spans_iter = _password_composite_spans(text)
-            for start, end in spans_iter:
-                matched = text[start:end]
-                if _has_context(text, start, end, pdef.get("context", []),
-                                tokens):
+        ctx_list = context if context is not None else []
+        if prefilters_on and is_pw:
+            for start, end in _password_composite_spans(text):
+                if _has_context(text, start, end, ctx_list, tokens):
                     out.append({
-                        "entity_group": pdef["type"],
+                        "entity_group": ptype,
                         "start": start, "end": end,
                         "score": 0.9,
                         "detector": "regex_internal",
                     })
             continue
-        for m in pdef["compiled"].finditer(text):
+        for m in compiled.finditer(text):
             start, end = m.span()
             matched = text[start:end]
-            if len(matched) < 3 and not pdef.get("context"):
+            if len(matched) < 3 and not context:
                 continue
             if not matched.strip():
                 continue
-            if _has_context(text, start, end, pdef.get("context", []),
-                            tokens):
+            if _has_context(text, start, end, ctx_list, tokens):
                 out.append({
-                    "entity_group": pdef["type"],
+                    "entity_group": ptype,
                     "start": start, "end": end,
                     "score": 0.9,
                     "detector": "regex_internal",
@@ -498,28 +509,33 @@ _PRESIDIO_CONTEXT_WINDOW = 40   # chars each side (lemma-window stand-in)
 _PRESIDIO_CONTEXT_BOOST = 0.35  # Presidio context-enhancer default
 
 
+# flat per-rule tuples: the per-document loop below runs per rule per
+# doc, so the dict .get() lookups (4 per rule per doc) are hoisted to
+# load time.  Same rules, same order.
+_PRESIDIO_T = [(r["pat"], r.get("prefilter"), r.get("validator"),
+                r.get("context"), r["type"], r["score"])
+               for r in _PRESIDIO_RULES]
+
+
 def detect_presidio(text: str) -> list[dict]:
     out = []
     tl = text.lower()
-    for rule in _PRESIDIO_RULES:
-        pf = rule.get("prefilter")
+    for pat, pf, validator, ctx_terms, rtype, rscore in _PRESIDIO_T:
         if ENABLE_PREFILTERS and pf and not any(l in tl for l in pf):
             continue  # necessary literal absent -> the regex cannot hit
-        validator = rule.get("validator")
-        ctx_terms = rule.get("context")
-        for m in rule["pat"].finditer(text):
+        for m in pat.finditer(text):
             s, e = m.span()
             surface = text[s:e]
             if validator is not None and not validator(surface):
                 continue
-            score = rule["score"]
+            score = rscore
             if ctx_terms:
                 nearby = tl[max(0, s - _PRESIDIO_CONTEXT_WINDOW):
                             min(len(text), e + _PRESIDIO_CONTEXT_WINDOW)]
                 if any(t in nearby for t in ctx_terms):
                     score = min(1.0, score + _PRESIDIO_CONTEXT_BOOST)
             out.append({
-                "entity_group": rule["type"],
+                "entity_group": rtype,
                 "start": s, "end": e,
                 "score": score,
                 "detector": "presidio_internal",
@@ -871,29 +887,39 @@ def _pii_pattern_confidence(name: str, surface: str, text: str,
     return min(1.0, max(0.1, conf))
 
 
+_PII_T = [(p["compiled"], p.get("prefilter"), p["name"], p["type"],
+           p["conf"], p["name"] not in ("age", "zip_code"))
+          for p in _COMPILED_PII]
+
+
 def detect_pii_patterns(text: str) -> list[dict]:
     out = []
     text_lower = text.lower()
-    for pdef in _COMPILED_PII:
-        if not _passes_prefilter(pdef, text_lower):
-            continue
-        for m in pdef["compiled"].finditer(text):
+    prefilters_on = ENABLE_PREFILTERS
+    for compiled, pf, name, ptype, conf, len_gated in _PII_T:
+        if prefilters_on and pf is not None:
+            for lit in pf:
+                if lit in text_lower:
+                    break
+            else:
+                continue
+        for m in compiled.finditer(text):
             s, e = m.span()
             surface = m.group()
             if m.groups() and m.group(1):
                 # narrow to the capture group (pii_specialized_ner.py:211-219)
                 s, e = m.start(1), m.end(1)
                 surface = m.group(1)
-            if len(surface) < 3 and pdef["name"] not in ("age", "zip_code"):
+            if len_gated and len(surface) < 3:
                 continue
             out.append({
-                "entity_group": pdef["type"],
+                "entity_group": ptype,
                 "start": s, "end": e,
-                "score": _pii_pattern_confidence(pdef["name"], surface, text,
-                                                 s, pdef["conf"]),
+                "score": _pii_pattern_confidence(name, surface, text,
+                                                 s, conf),
                 "word": surface,
                 "detector": "pii_pattern_detector",
-                "pattern_type": pdef["name"],
+                "pattern_type": name,
             })
     return out
 
@@ -1124,6 +1150,11 @@ def detect_document(text: str,
         return []
     if domains is None:
         domains = classify_domains(text)
+    if general_raw is None:
+        # the general NER pass feeds BOTH the "general" stage and the
+        # pii_specialized stage; run it once per document instead of
+        # once per consumer (identical spans either way)
+        general_raw = _run_general_model(text)
     all_entities: list[dict] = []
     all_entities.extend(detect_presidio(text))
     all_entities.extend(detect_regex(text))

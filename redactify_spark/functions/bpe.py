@@ -232,6 +232,14 @@ def _capture_snapshot():
         handle = sess.sparkContext.broadcast(list(snap))
     except Exception:
         return snap
+    if _BCAST_CACHE is not None:
+        # release the superseded broadcast's executor blocks: a
+        # long-lived driver swapping vocabularies would otherwise leak
+        # ~1 MB per swap on every executor (ADVICE r5)
+        try:
+            _BCAST_CACHE[1].unpersist()
+        except Exception:
+            pass
     _BCAST_CACHE = (snap, handle)
     return handle
 

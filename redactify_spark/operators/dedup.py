@@ -104,7 +104,11 @@ def minhash_candidates(bands: DataFrame,
                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     sized = bands.withColumn(
         "n", F.count("*").over(Window.partitionBy("band", "sig")))
-    narrow = sized.where(F.col("n") <= max_bucket).drop("n")
+    # persist: the self-join consumes this twice (otherwise the Python
+    # banding kernel runs once per side), and the kept hash(band, sig)
+    # partitioning from the window's exchange makes the join
+    # exchange-free on both sides
+    narrow = sized.where(F.col("n") <= max_bucket).drop("n").persist()
     a = narrow.select("band", "sig", F.col("doc_id").alias("id_a"))
     b = narrow.select("band", "sig", F.col("doc_id").alias("id_b"))
     return (a.join(b, ["band", "sig"])

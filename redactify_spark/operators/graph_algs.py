@@ -155,6 +155,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .repartition(n_shuffle, "src")
                  .sortWithinPartitions("src")
                  .persist())
+    # EAGER materialization before any round is planned: a cached plan
+    # whose AdaptiveSparkPlan has not executed reports unknown output
+    # partitioning, so the (lazy) round joins would be compiled with a
+    # re-exchange + re-sort of the edge table per round despite the
+    # cache.  Once materialized, the final plan's hash/sort layout is
+    # visible and every round's sort-merge join consumes the cached
+    # side with NO exchange and NO sort (verified in the plan capture);
+    # the two scalar count() jobs ARE the cache builds, not extra work.
+    nodes.count()
+    contrib_e.count()
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
@@ -537,9 +547,16 @@ def label_propagation(edges: DataFrame, src: str = "src",
     # re-shuffle the full edge table -- guide §2.4)
     n_shuffle = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"))
+    # localCheckpoint-before-repartition: see pagerank -- keeps the
+    # cached plan AQE-free so its hash(dst)/sorted layout is reused by
+    # every round's join instead of re-exchanging the edge table
     sym = (symmetrize(edges, src, dst, assume_oriented=edges_oriented)
            .repartition(n_shuffle, "dst")
            .sortWithinPartitions("dst").persist())
+    # eager cache build (see pagerank): materializing before the rounds
+    # are planned is what lets every round's join consume the cached
+    # edge table without an exchange or sort
+    sym.count()
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))

@@ -279,10 +279,16 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     not Python's banker's rounding) so an external oracle computing the
     same rounded scalar gets bit-equal scores."""
     import math
+
+    from redactify_spark.operators.partitioning import spread_for_cpu
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    "[^a-z0-9]+", " "))
     toks = F.when(norm == "", F.array().cast("array<string>")) \
             .otherwise(F.split(norm, " "))
+    # the tokenize+explode below runs pre-exchange: spread a
+    # single-partition corpus scan first (guide §2; no-op when the
+    # input is already parallel)
+    docs = spread_for_cpu(docs.select(id_col, text_col), id_col)
     lens = docs.select(F.col(id_col).alias("doc_id"),
                        F.size(toks).alias("dl"), toks.alias("_toks"))
     if n_docs is None or avgdl is None:
