@@ -46,11 +46,20 @@ def connected_components(edges: DataFrame,
     def cut(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
 
+    # the per-round neighbor-min joins on `v`: hash-partition + sort +
+    # persist + materialize ONCE so every round's join consumes the
+    # edge table without an exchange or sort (same pattern as
+    # graph_algs.pagerank; the eager build is required because an
+    # unexecuted cached AdaptiveSparkPlan reports unknown partitioning)
+    n_shuffle = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .unionByName(edges.select(F.col(dst).alias("u"),
                                      F.col(src).alias("v")))
-           .dropDuplicates(["u", "v"]))
-    sym = cut(sym)
+           .dropDuplicates(["u", "v"])
+           .repartition(n_shuffle, "v")
+           .sortWithinPartitions("v").persist())
+    sym.count()
 
     labels = (sym.select(F.col("u").alias("node"))
               .distinct()
@@ -63,28 +72,35 @@ def connected_components(edges: DataFrame,
                .groupBy(F.col("u").alias("node"))
                .agg(F.min("component").alias("nbr_component")))
         stepped = (labels.join(nbr, "node", "left")
-                   .select("node",
+                   .select("node", F.col("component").alias("_old"),
                            F.least(F.col("component"),
                                    F.coalesce(F.col("nbr_component"),
                                               F.col("component")))
-                           .alias("component")))
+                           .alias("component"))
+                   # lazy barrier: the pointer-doubling self-join below
+                   # consumes `stepped` twice -- without the cut the
+                   # neighbor-min join subtree runs once per side
+                   .localCheckpoint(eager=False))
         # 2) pointer doubling: component := label(component) -- halves the
         #    pointer-chain depth each round, so chains converge in
         #    O(log n) rounds instead of O(n)
         parent = stepped.select(F.col("node").alias("component"),
                                 F.col("component").alias("grand"))
         new_labels = (stepped.join(parent, "component", "left")
-                      .select("node",
+                      .select("node", "_old",
                               F.least(F.col("component"),
                                       F.coalesce(F.col("grand"),
                                                  F.col("component")))
                               .alias("component")))
         new_labels = cut(new_labels)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
+        # convergence: the pre-round label is CARRIED inline ("_old"),
+        # so the changed-check is a scan of the just-materialized cut
+        # blocks -- the old formulation re-joined the full old and new
+        # label tables (two more exchanges per round) just to compare
+        changed = (new_labels
+                   .where(F.col("component") != F.col("_old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     else:

@@ -178,19 +178,38 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
         elif ftype == 2:                                # Up
             cur = (line + prev) & 0xFF
         elif ftype in (3, 4):                           # Average/Paeth
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if ftype == 3:
-                    pred = (a + b) >> 1
-                else:                                   # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            # the left-pixel recurrence is nonlinear (floor-half /
+            # argmin predictor), so the row cannot be numpy-vectorized
+            # exactly; what CAN go: the per-element numpy scalar
+            # indexing (~100 ns/element).  Python-int lists + local
+            # bindings run the same loop ~6x faster (r5 advisory: the
+            # last per-byte hot loop in a data path); parity pinned by
+            # the round-trip and planted-pair tests.
+            lp = line.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
+            if ftype == 3:                              # Average
+                for x in range(stride):
+                    a = cur_l[x - bpp] if x >= bpp else 0
+                    cur_l[x] = (lp[x] + ((a + pv[x]) >> 1)) & 0xFF
+            else:                                       # Paeth
+                for x in range(stride):
+                    b = pv[x]
+                    if x >= bpp:
+                        a = cur_l[x - bpp]
+                        c = pv[x - bpp]
+                    else:
+                        a = c = 0
+                    # p = a+b-c; pa=|p-a|=|b-c|, pb=|p-b|=|a-c|,
+                    # pc=|p-c|=|a+b-2c| (the spec's arithmetic,
+                    # simplified)
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - c - c)
                     pred = a if (pa <= pb and pa <= pc) else \
                         (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                    cur_l[x] = (lp[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
