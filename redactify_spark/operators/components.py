@@ -44,7 +44,11 @@ def connected_components(edges: DataFrame,
     to recompute at 10^9+ nodes).
     """
     def cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+        # lazy: the convergence-check count right after each cut is the
+        # job that materializes the blocks -- an eager cut would run a
+        # second, separate blocking job per round for nothing
+        return (df.checkpoint() if reliable_checkpoint
+                else df.localCheckpoint(eager=False))
 
     # the per-round neighbor-min joins on `v`: hash-partition + sort +
     # persist + materialize ONCE so every round's join consumes the

@@ -117,43 +117,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if not assume_distinct:
             e = e.distinct()
+        e = e.withColumn("_ew", F.lit(1.0))
     else:
         e = (edges.groupBy(F.col(src).alias("src"),
                            F.col(dst).alias("dst"))
              .agg(F.sum(weight).cast("double").alias("_ew")))
-    e = cut(e)
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
-    # nodes is joined every round on `node`: persist it WITH hash
-    # partitioning and sort order (a localCheckpoint drops
-    # outputPartitioning -- observed UnknownPartitioning(0) -- and
-    # every round would re-exchange + re-sort it)
     n_shuffle = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"))
-    nodes = (nodes.repartition(n_shuffle, "node")
-             .sortWithinPartitions("node").persist())
-    if weight is None:
-        outdeg = e.groupBy("src").agg(
-            F.count("*").cast("double").alias("_wsum"))
-        e = e.withColumn("_ew", F.lit(1.0))
-    else:
-        outdeg = e.groupBy("src").agg(F.sum("_ew").alias("_wsum"))
     # contribution edges with the w/W factor pre-attached: computed
-    # once, reused every round.  Hash-partitioned by `src` (the
-    # per-round join key) and persisted so NO round re-shuffles the
-    # edge table -- the only per-round exchange left is the combinable
-    # contribution sum keyed by dst (guide §2.4: establish the
-    # partitioning once).
-    # ... and pre-SORTED by src: the cached InMemoryRelation reports
-    # both outputPartitioning and outputOrdering, so the per-round
-    # sort-merge join needs neither an exchange nor a sort on the
-    # (large) edge side -- only the node-sized ranks side shuffles.
-    contrib_e = (e.join(outdeg, "src")
+    # once, reused every round.  The out-weight W(u) is a window sum
+    # over src -- ONE exchange establishes hash(src) + sort(src), the
+    # exact layout the per-round joins need, where the old
+    # groupBy+join+repartition formulation shuffled the edge table
+    # three times to reach the same state.  (Weight sums stay exact:
+    # every declared weight is an integer-valued double.)
+    wspec = Window.partitionBy("src")
+    contrib_e = (e.withColumn(
+                     "_wsum",
+                     (F.count("*").over(wspec).cast("double")
+                      if weight is None else F.sum("_ew").over(wspec)))
                  .select("src", "dst",
                          (F.col("_ew") / F.col("_wsum")).alias("_w"))
-                 .repartition(n_shuffle, "src")
-                 .sortWithinPartitions("src")
                  .persist())
     # EAGER materialization before any round is planned: a cached plan
     # whose AdaptiveSparkPlan has not executed reports unknown output
@@ -162,9 +146,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # cache.  Once materialized, the final plan's hash/sort layout is
     # visible and every round's sort-merge join consumes the cached
     # side with NO exchange and NO sort (verified in the plan capture);
-    # the two scalar count() jobs ARE the cache builds, not extra work.
-    nodes.count()
+    # the scalar count() jobs ARE the cache builds, not extra work.
     contrib_e.count()
+    # nodes (joined every round on `node`): derived from the cached
+    # contribution table, cached with hash+sort layout for the same
+    # reason
+    nodes = (contrib_e.select(F.col("src").alias("node"))
+             .unionByName(contrib_e.select(F.col("dst").alias("node")))
+             .distinct()
+             .repartition(n_shuffle, "node")
+             .sortWithinPartitions("node").persist())
+    nodes.count()
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):

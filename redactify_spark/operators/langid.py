@@ -327,10 +327,14 @@ def lang_id_ngram(docs: DataFrame, text_col: str = "text",
                 "n_ngrams": counts.astype("int64"),
             })
 
+    # spread FIRST, normalize after: the translate/regexp normalize is
+    # itself per-char work that would otherwise run on the single scan
+    # partition (the shuffle ships raw text either way)
     src = spread_for_cpu(
-        docs.select(F.col(id_col).alias("doc_id"),
-                    normalize_expr(F.col(text_col)).alias("_lid_norm")),
-        "doc_id")
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        "doc_id") \
+        .select("doc_id",
+                normalize_expr(F.col(text_col)).alias("_lid_norm"))
     return src.mapInPandas(
         score, schema="doc_id long, lang_pred string, "
                       "score_micro long, n_ngrams long")
