@@ -1423,10 +1423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         item = baskets.groupBy("i").agg(F.count("*").alias("n_i"))
         sized = baskets.withColumn(
             "_n", F.count("*").over(Window.partitionBy("g")))
-        # persist: the self-join consumes this twice (otherwise the
-        # distinct+window subtree runs once per side), and the kept
-        # hash(g) partitioning makes the join exchange-free
-        capped = sized.where(F.col("_n") <= 1024).drop("_n").persist()
+        # lazy RDD barrier: the self-join consumes this twice
+        # (otherwise the distinct+window subtree runs once per side);
+        # localCheckpoint, not persist, so nothing is plan-keyed in the
+        # CacheManager across invocations
+        capped = (sized.where(F.col("_n") <= 1024).drop("_n")
+                  .localCheckpoint(eager=False))
         a = capped.select("g", F.col("i").alias("src"))
         b = capped.select("g", F.col("i").alias("dst"))
         pair = (a.join(b, "g").where(F.col("src") < F.col("dst"))

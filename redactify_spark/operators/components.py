@@ -111,6 +111,13 @@ def connected_components(edges: DataFrame,
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (graph deeper than 2^max_iter?)")
+    # the returned labels are materialized localCheckpoint blocks (the
+    # convergence count built them); drop the edge cache so no
+    # plan-keyed entry outlives the invocation -- the incremental
+    # pipelines rewrite their stage tables between refreshes and a
+    # stale CacheManager hit here silently canonicalizes against the
+    # OLD edge set (caught by test_incremental_equals_oneshot)
+    sym.unpersist()
     return labels
 
 

@@ -104,11 +104,14 @@ def minhash_candidates(bands: DataFrame,
                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     sized = bands.withColumn(
         "n", F.count("*").over(Window.partitionBy("band", "sig")))
-    # persist: the self-join consumes this twice (otherwise the Python
-    # banding kernel runs once per side), and the kept hash(band, sig)
-    # partitioning from the window's exchange makes the join
-    # exchange-free on both sides
-    narrow = sized.where(F.col("n") <= max_bucket).drop("n").persist()
+    # lazy RDD barrier: the self-join consumes this twice (otherwise
+    # the Python banding kernel runs once per side).  localCheckpoint,
+    # not persist -- a plan-keyed cache would be silently reused by a
+    # later invocation over a rewritten source table (incremental
+    # corpus refreshes), and would let warm bench trials skip the
+    # banding kernel instead of recomputing it
+    narrow = (sized.where(F.col("n") <= max_bucket).drop("n")
+              .localCheckpoint(eager=False))
     a = narrow.select("band", "sig", F.col("doc_id").alias("id_a"))
     b = narrow.select("band", "sig", F.col("doc_id").alias("id_b"))
     return (a.join(b, ["band", "sig"])
@@ -232,7 +235,8 @@ def doc_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "simhash": [simhash64(t or "") for t in pdf[text_col]],
             })
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return spread_for_cpu(docs.select("doc_id", text_col),
+                          "doc_id").mapInPandas(
         sh, schema=_SIMHASH_SCHEMA)
 
 

@@ -48,12 +48,15 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str,
                       F.col(item_col).alias("_i")).distinct()
     sized = pairs.withColumn(
         "_n", F.count("*").over(Window.partitionBy("_g")))
-    # persist the capped frame: the self-join below consumes it twice
-    # (without this the distinct + window subtree runs once per side),
-    # and the persisted hash(_g) partitioning from the window's
-    # exchange makes the self-join exchange-free on BOTH sides
+    # lazy RDD barrier: the self-join below consumes this twice
+    # (without it the distinct + window subtree runs once per side).
+    # Deliberately localCheckpoint, NOT persist: a persist here would be
+    # plan-keyed in the CacheManager and a later invocation over the
+    # same (possibly rewritten) source path would silently reuse stale
+    # blocks -- the incremental pipelines rewrite their stage tables
+    # between refreshes
     pairs = (sized.where(F.col("_n") <= max_group).drop("_n")
-             .persist())
+             .localCheckpoint(eager=False))
     a = pairs.select("_g", F.col("_i").alias("src"))
     b = pairs.select("_g", F.col("_i").alias("dst"))
     return (a.join(b, "_g")
@@ -176,6 +179,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # on the last) -- the tree between cuts stays linear in k.
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = cut(ranks)
+    if iterations == 0:
+        ranks = cut(ranks)
+    # materialize the final cut (node-sized) and DROP the loop caches:
+    # a plan-keyed cache left behind would be silently reused by a
+    # later pagerank over the same (possibly rewritten) source tables
+    # -- the incremental refresh rewrites its stage tables -- and would
+    # let warm bench trials skip the edge prep instead of recomputing
+    ranks.count()
+    contrib_e.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -565,4 +578,10 @@ def label_propagation(edges: DataFrame, src: str = "src",
                              F.col("_b.label").alias("label"))
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             labels = cut(labels)
+    if iterations == 0:
+        labels = cut(labels)
+    # materialize the final cut and drop the loop cache (see pagerank:
+    # no plan-keyed cache may outlive the invocation)
+    labels.count()
+    sym.unpersist()
     return labels
