@@ -51,10 +51,9 @@ def connected_components(edges: DataFrame,
                 else df.localCheckpoint(eager=False))
 
     # the per-round neighbor-min joins on `v`: hash-partition + sort +
-    # persist + materialize ONCE so every round's join consumes the
-    # edge table without an exchange or sort (same pattern as
-    # graph_algs.pagerank; the eager build is required because an
-    # unexecuted cached AdaptiveSparkPlan reports unknown partitioning)
+    # persist ONCE (lazy -- round 1's convergence count materializes it
+    # with the cache live; later rounds hit the cache.  Same pattern as
+    # graph_algs.pagerank)
     n_shuffle = int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"))
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -63,7 +62,6 @@ def connected_components(edges: DataFrame,
            .dropDuplicates(["u", "v"])
            .repartition(n_shuffle, "v")
            .sortWithinPartitions("v").persist())
-    sym.count()
 
     labels = (sym.select(F.col("u").alias("node"))
               .distinct()

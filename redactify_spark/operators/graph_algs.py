@@ -142,24 +142,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .select("src", "dst",
                          (F.col("_ew") / F.col("_wsum")).alias("_w"))
                  .persist())
-    # EAGER materialization before any round is planned: a cached plan
-    # whose AdaptiveSparkPlan has not executed reports unknown output
-    # partitioning, so the (lazy) round joins would be compiled with a
-    # re-exchange + re-sort of the edge table per round despite the
-    # cache.  Once materialized, the final plan's hash/sort layout is
-    # visible and every round's sort-merge join consumes the cached
-    # side with NO exchange and NO sort (verified in the plan capture);
-    # the scalar count() jobs ARE the cache builds, not extra work.
-    contrib_e.count()
     # nodes (joined every round on `node`): derived from the cached
-    # contribution table, cached with hash+sort layout for the same
-    # reason
+    # contribution table
     nodes = (contrib_e.select(F.col("src").alias("node"))
              .unionByName(contrib_e.select(F.col("dst").alias("node")))
              .distinct()
              .repartition(n_shuffle, "node")
              .sortWithinPartitions("node").persist())
-    nodes.count()
+    # the caches stay LAZY: the final materializing action below runs
+    # all rounds in one query, the caches fill on first use inside it
+    # and later rounds hit them (plus ReusedExchange dedup).  An eager
+    # pre-materialization (count per cache before the loop) was
+    # measured at both sf0.1 and sf1.0 and rejected: the extra blocking
+    # jobs cost more than the plan-time layout knowledge buys.
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(iterations):
@@ -558,10 +553,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
     sym = (symmetrize(edges, src, dst, assume_oriented=edges_oriented)
            .repartition(n_shuffle, "dst")
            .sortWithinPartitions("dst").persist())
-    # eager cache build (see pagerank): materializing before the rounds
-    # are planned is what lets every round's join consume the cached
-    # edge table without an exchange or sort
-    sym.count()
+    # cache stays lazy (see pagerank: the final materializing action
+    # fills it on first use; eager pre-builds measured slower)
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))
