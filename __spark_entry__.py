@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (D.ngram_jaccard_pairs_native(d, threshold=0.3)
                 .select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
+                # lazy barrier: the final orderBy's range-partition
+                # sampling otherwise re-runs the whole quadratic verify
+                # a second time (guide §2.4 -- an orderBy only for
+                # output determinism should not double the job)
+                .localCheckpoint(eager=False)
                 .orderBy("id_a", "id_b"))
 
     def q16_token_stats(spark, sf):
@@ -809,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (D.word_jaccard_pairs_native(d, threshold=0.3)
                 .select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
+                # same pre-orderBy barrier as q15: don't pay the
+                # quadratic verify twice for the sampling pass
+                .localCheckpoint(eager=False)
                 .orderBy("id_a", "id_b"))
 
     def q54_minhash_native(spark, sf):

@@ -671,7 +671,18 @@ def ngram_jaccard_pairs_native(docs: DataFrame, text_col: str = "text",
 def _blocked_jaccard_join(grams: DataFrame, threshold: float,
                           pair_split: int) -> DataFrame:
     """Self-join grams(doc_id, _block, grams) within _block with the
-    pair-space split + size-ratio prune + exact Jaccard verify."""
+    pair-space split + size-ratio prune + exact Jaccard verify.  The
+    gram frame takes a lazy RDD barrier so the shingle subtree is
+    computed once, not once per join side.
+
+    (A 1024-bit presence-bitmap pre-prune was tried here and REVERTED:
+    popcount(bm_a & bm_b) is not an upper bound on |A ∩ B| once two
+    common grams can collide on one bit, and at ~300 grams per doc the
+    collisions are routine -- it dropped true pairs at sf0.01.  A
+    per-bucket counting sketch tight enough to prune at threshold 0.3
+    needs ~1024 counters, which costs more per pair than the exact
+    intersect it would save.)"""
+    grams = grams.localCheckpoint(eager=False)
     a = grams.select("_block", F.col("doc_id").alias("id_a"),
                      F.col("grams").alias("g_a"))
     b = grams.select("_block", F.col("doc_id").alias("id_b"),
