@@ -720,6 +720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return (D.minhash_dup_pairs(d, threshold=0.5)
                 .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+                # lazy pre-orderBy barrier: range-partition sampling
+                # otherwise re-runs the reduce-side verify join (shuffle
+                # reuse only covers map stages)
+                .localCheckpoint(eager=False)
                 .orderBy("id_a", "id_b"))
 
     def q37_simhash_pairs(spark, sf):
@@ -828,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (D.minhash_native_pairs(d, threshold=0.5)
                 .select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
+                # lazy pre-orderBy barrier (see q36)
+                .localCheckpoint(eager=False)
                 .orderBy("id_a", "id_b"))
 
     def q55_asof_join(spark, sf):
@@ -1179,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (X.bm25_scores(d, ["spark", "vector", "stream"])
                 .select("doc_id", "n_terms",
                         F.round("score", 4).alias("score"))
+                # lazy pre-orderBy barrier (see q36)
+                .localCheckpoint(eager=False)
                 .orderBy("doc_id"))
 
     def q81_name_linkage(spark, sf):
@@ -1455,6 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("dst").cast("long").alias("dst"), "n_pair",
                         F.round(conf, 6).alias("confidence"),
                         F.round(lift, 6).alias("lift"))
+                # lazy pre-orderBy barrier (see q36): the reduce-side
+                # pair expansion is the expensive stage
+                .localCheckpoint(eager=False)
                 .orderBy("src", "dst"))
 
     def q97_cohort_retention(spark, sf):
@@ -1576,6 +1587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vendored sample strings, so scores are bit-identical."""
         from redactify_spark.operators.langid import lang_id_ngram
         return (lang_id_ngram(_t(spark, sf, "documents"))
+                # lazy pre-orderBy barrier (see q36): the scorer is a
+                # map-only Arrow pass the sampling job would re-run
+                .localCheckpoint(eager=False)
                 .orderBy("doc_id"))
 
     def q106_langid_multiscript(spark, sf):
