@@ -146,8 +146,15 @@ def test_q77_interval_join_no_nested_loop(spark, qs):
 
 def test_q80_bm25_df_join_broadcast(spark, qs):
     """The per-term df table is tiny (one row per query term) and must
-    broadcast; the tf aggregation must not plan a cartesian product."""
-    plan = plan_of(qs["q80_bm25"](spark, SF))
+    broadcast; the tf aggregation must not plan a cartesian product.
+
+    Asserted on the operator output: the declared q80 adds a lazy
+    localCheckpoint barrier before its orderBy (r6), and localCheckpoint
+    -- even lazy -- replaces the visible logical plan with a LogicalRDD
+    scan, hiding the join subtree from explain()."""
+    from redactify_spark.operators import textstats as X
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(X.bm25_scores(d, ["spark", "vector", "stream"]))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
